@@ -1,0 +1,169 @@
+"""Base calculator: real-space neighbor sum plus optional k-space long range.
+
+TPU-native counterpart of
+``/root/reference/src/torchpme/calculators/calculator.py``.  Calculators are
+immutable pytree dataclasses wrapping a pure forward function: the potential's
+numeric parameters are traced leaves (trainable, differentiable), structural
+options are static metadata.  ``jax.grad`` of the summed output w.r.t.
+positions / charges / cell yields forces and stress through the entire stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..potentials import Potential
+from ..potentials.potential import static_field
+from ..utils.validation import validate_parameters
+
+__all__ = ["Calculator"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Calculator:
+    r"""Evaluates :math:`V_i = \frac{1}{2}\sum_j q_j\, v(r_{ij})` per atom.
+
+    Used directly it computes the real-space part only (a "direct" sum over
+    the provided neighbor list); subclasses add a reciprocal-space long-range
+    part by overriding :meth:`_compute_kspace`.
+
+    :param potential: the pair potential; its ``smearing`` decides whether a
+        k-space part is evaluated at all.
+    :param full_neighbor_list: whether the neighbor list contains each pair
+        twice (full) or once (half).
+    """
+
+    potential: Potential
+    full_neighbor_list: bool = static_field(default=False, kw_only=True)
+
+    def __post_init__(self):
+        if not isinstance(self.potential, Potential):
+            raise TypeError(
+                f"Potential must be an instance of Potential, got {type(self.potential)}"
+            )
+
+    # -- real space -----------------------------------------------------------
+
+    def _compute_rspace(
+        self,
+        charges: Array,
+        neighbor_indices: Array,
+        neighbor_distances: Array,
+        pair_mask: Array | None = None,
+    ) -> Array:
+        """Neighbor-list pair sum, scattered onto atoms with segment adds."""
+        # bare pair terms v(r_ij); with smearing set, only the short-range part
+        # (the long range is summed in k-space by the subclass)
+        if self.potential.smearing is None:
+            if self.potential.exclusion_radius is None:
+                pair_values = self.potential.from_dist(neighbor_distances, pair_mask)
+            else:
+                pair_values = self.potential.from_dist(
+                    neighbor_distances, pair_mask
+                ) * (1 - self.potential.f_cutoff(neighbor_distances, pair_mask))
+        else:
+            pair_values = self.potential.sr_from_dist(neighbor_distances, pair_mask)
+
+        atom_is = neighbor_indices[:, 0]
+        atom_js = neighbor_indices[:, 1]
+
+        # q_j · v(r_ij) accumulated on atom i (single fused scatter-add on TPU)
+        potential = jnp.zeros_like(charges)
+        potential = potential.at[atom_is].add(
+            charges[atom_js] * pair_values[:, None]
+        )
+        if not self.full_neighbor_list:
+            # half lists store each pair once: add the mirrored (j, i) terms
+            potential = potential.at[atom_js].add(
+                charges[atom_is] * pair_values[:, None]
+            )
+        # compensate double counting of (i,j) and (j,i)
+        return potential / 2
+
+    # -- reciprocal space -------------------------------------------------------
+
+    def _compute_kspace(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        periodic: Array | None = None,
+        kvectors: Array | None = None,
+        node_mask: Array | None = None,
+    ) -> Array:
+        raise NotImplementedError(
+            f"`_compute_kspace` not implemented for {type(self).__name__}"
+        )
+
+    # -- public forward ---------------------------------------------------------
+
+    def __call__(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        neighbor_indices: Array,
+        neighbor_distances: Array,
+        periodic: Array | None = None,
+        node_mask: Array | None = None,
+        pair_mask: Array | None = None,
+        kvectors: Array | None = None,
+    ) -> Array:
+        r"""Compute the per-atom potential "energy".
+
+        :param charges: ``(n_atoms, n_channels)`` (pseudo-)charges; multiple
+            channels evaluate several potentials at once (e.g. one-hot species
+            encodings for ML features).
+        :param cell: ``(3, 3)`` cell matrix, rows are basis vectors.
+        :param positions: ``(n_atoms, 3)`` Cartesian coordinates.
+        :param neighbor_indices: ``(n_pairs, 2)`` ``i, j`` indices of the
+            (externally computed) neighbor list.
+        :param neighbor_distances: ``(n_pairs,)`` pair distances.
+        :param periodic: optional ``(3,)`` bool mask of periodic directions
+            (2D-periodic slab corrections activate when exactly two are true).
+        :param node_mask: optional ``(n_atoms,)`` bool mask for padded batches.
+        :param pair_mask: optional ``(n_pairs,)`` bool mask for padded pairs.
+        :param kvectors: optional precomputed k-vectors (required for the
+            Ewald k-space part under ``jit``/``vmap``, where mesh sizes cannot
+            depend on traced cells).
+        :return: ``(n_atoms, n_channels)`` per-atom potentials; multiply by
+            charges and sum for the total energy.
+        """
+        validate_parameters(
+            charges=charges,
+            cell=cell,
+            positions=positions,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            periodic=periodic,
+            pair_mask=pair_mask,
+            node_mask=node_mask,
+            kvectors=kvectors,
+        )
+
+        potential_sr = self._compute_rspace(
+            charges=charges,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            pair_mask=pair_mask,
+        )
+        if self.potential.smearing is None:
+            return potential_sr
+
+        potential_lr = self._compute_kspace(
+            charges=charges,
+            cell=cell,
+            positions=positions,
+            periodic=periodic,
+            kvectors=kvectors,
+            node_mask=node_mask,
+        )
+        return potential_sr + potential_lr
+
+    # API-parity alias with the reference's nn.Module.forward
+    forward = __call__

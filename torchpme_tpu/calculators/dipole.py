@@ -1,0 +1,155 @@
+"""Dipolar direct + Ewald calculator.
+
+TPU-native counterpart of
+``/root/reference/src/torchpme/calculators/calculator_dipole.py``.  Takes
+neighbor *vectors* (not distances): the real-space kernel is a 3×3 tensor per
+pair contracted with the neighbor dipoles, the k-space part projects dipoles
+on the k-vectors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.kvectors import generate_kvectors_for_ewald, get_ns_ewald
+from ..potentials import PotentialDipole
+from ..potentials.potential import static_field
+from ..utils.validation import validate_parameters
+
+__all__ = ["CalculatorDipole"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CalculatorDipole:
+    r"""Evaluates :math:`\vec V_i = \frac12\sum_j \mathbf v(\vec r_{ij})\,\vec\mu_j`.
+
+    :param potential: a :class:`PotentialDipole`; its ``smearing`` decides
+        whether the Ewald k-space part is evaluated.
+    :param full_neighbor_list: half (False) or full (True) neighbor list.
+    :param lr_wavelength: reciprocal-space resolution; must be set together
+        with the potential's ``smearing`` (or both unset for direct mode).
+    """
+
+    potential: PotentialDipole
+    full_neighbor_list: bool = static_field(default=False, kw_only=True)
+    lr_wavelength: float | None = static_field(default=None, kw_only=True)
+
+    def __post_init__(self):
+        if not isinstance(self.potential, PotentialDipole):
+            raise TypeError(
+                "Potential must be an instance of PotentialDipole, got "
+                f"{type(self.potential)}"
+            )
+        both_set = self.lr_wavelength is not None and self.potential.smearing is not None
+        both_none = self.lr_wavelength is None and self.potential.smearing is None
+        if not (both_set or both_none):
+            raise ValueError(
+                "Either both `lr_wavelength` and `smearing` must be set or both "
+                "must be None"
+            )
+
+    def _compute_rspace(
+        self,
+        dipoles: Array,
+        neighbor_indices: Array,
+        neighbor_vectors: Array,
+    ) -> Array:
+        if self.potential.smearing is None:
+            pair_kernels = self.potential.from_dist(neighbor_vectors)  # (P, 3, 3)
+        else:
+            pair_kernels = self.potential.sr_from_dist(neighbor_vectors)
+
+        atom_is = neighbor_indices[:, 0]
+        atom_js = neighbor_indices[:, 1]
+
+        contrib_i = jnp.einsum(
+            "pab,pb->pa", pair_kernels, dipoles[atom_js], precision="highest"
+        )
+        potential = jnp.zeros_like(dipoles).at[atom_is].add(contrib_i)
+        if not self.full_neighbor_list:
+            contrib_j = jnp.einsum(
+                "pab,pb->pa", pair_kernels, dipoles[atom_is], precision="highest"
+            )
+            potential = potential.at[atom_js].add(contrib_j)
+        return potential / 2
+
+    def compute_kvectors(self, cell) -> Array:
+        """Eagerly generate the k-vector set for a concrete cell."""
+        return generate_kvectors_for_ewald(
+            jnp.asarray(cell), get_ns_ewald(cell, self.lr_wavelength)
+        )
+
+    def _compute_kspace(
+        self,
+        dipoles: Array,
+        cell: Array,
+        positions: Array,
+        kvectors: Array | None = None,
+    ) -> Array:
+        if kvectors is None:
+            kvectors = self.compute_kvectors(cell)
+        knorm_sq = jnp.sum(kvectors**2, axis=-1)
+        g_kernel = self.potential.lr_from_k_sq(knorm_sq)
+
+        trig_args = kvectors @ positions.T  # (n_k, N)
+        trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])  # (2, n_k, N)
+        mu_k = dipoles @ kvectors.T  # (N, n_k)
+        weighted = jnp.einsum(
+            "fki,ik,k->fk", trig, mu_k, g_kernel, precision="highest"
+        )
+        energy = jnp.einsum(
+            "fk,fki,kc->ic", weighted, trig, kvectors, precision="highest"
+        )
+        volume = jnp.abs(jnp.linalg.det(cell))
+        energy = energy / volume
+        energy = energy - dipoles * self.potential.self_contribution()
+        energy = energy + self.potential.background_correction(volume) * jnp.sum(
+            dipoles, axis=0
+        )
+        return energy / 2
+
+    def __call__(
+        self,
+        dipoles: Array,
+        cell: Array,
+        positions: Array,
+        neighbor_indices: Array,
+        neighbor_vectors: Array,
+        kvectors: Array | None = None,
+    ) -> Array:
+        r"""Compute the per-atom dipolar potential.
+
+        :param dipoles: ``(n_atoms, 3)`` point dipoles.
+        :param cell: ``(3, 3)`` cell matrix.
+        :param positions: ``(n_atoms, 3)`` coordinates.
+        :param neighbor_indices: ``(n_pairs, 2)`` neighbor-list indices.
+        :param neighbor_vectors: ``(n_pairs, 3)`` pair displacement vectors.
+        :param kvectors: optional precomputed k-vectors (for jit/vmap).
+        :return: ``(n_atoms, 3)`` per-atom potential vectors; contract with
+            the dipoles and sum for the total energy.
+        """
+        validate_parameters(
+            charges=dipoles,
+            cell=cell,
+            positions=positions,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=jnp.linalg.norm(neighbor_vectors, axis=-1),
+        )
+        potential_sr = self._compute_rspace(
+            dipoles=dipoles,
+            neighbor_indices=neighbor_indices,
+            neighbor_vectors=neighbor_vectors,
+        )
+        if self.potential.smearing is None:
+            return potential_sr
+        potential_lr = self._compute_kspace(
+            dipoles=dipoles, cell=cell, positions=positions, kvectors=kvectors
+        )
+        return potential_sr + potential_lr
+
+    forward = __call__

@@ -1,0 +1,177 @@
+"""Particle-mesh Ewald (PME) calculator, O(N log N).
+
+TPU-native counterpart of ``/root/reference/src/torchpme/calculators/pme.py``.
+The k-space pipeline is a chain of pure functions — stencil interpolation →
+scatter spread → 3D rFFT filter → gather back — so the whole forward
+(including the filter, which depends on the traced ``cell``) differentiates
+cleanly w.r.t. positions, charges and cell; the caching-vs-autodiff tension of
+the reference (``pme.py:97-98`` TODO) does not arise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.kspace import apply_kspace_filter, compute_kspace_filter
+from ..ops.kvectors import get_ns_mesh
+from ..ops.mesh import compute_interpolation, mesh_to_points, points_to_mesh
+from ..potentials import Potential
+from ..potentials.potential import static_field
+from .calculator import Calculator
+
+__all__ = ["PMECalculator"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PMECalculator(Calculator):
+    r"""Mesh Ewald with Lagrange interpolation (classic smooth PME).
+
+    :param potential: range-separated potential; ``smearing`` must be set
+        (a reasonable default is 1/5 of the neighbor-list cutoff).
+    :param mesh_spacing: target distance between mesh planes; the actual mesh
+        is rounded up to powers of two per axis for the rFFT fast path.
+    :param interpolation_nodes: stencil size ``n`` per axis (``n³`` points per
+        particle); values 3–7 supported for Lagrange interpolation.
+    :param full_neighbor_list: half (False) or full (True) neighbor list.
+    """
+
+    mesh_spacing: float = static_field(default=1.0)
+    interpolation_nodes: int = static_field(default=4)
+
+    _method: str = static_field(default="Lagrange", kw_only=True)
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.potential.smearing is None:
+            raise ValueError(
+                "Must specify smearing to use a potential with PMECalculator"
+            )
+        if (
+            isinstance(self.potential.smearing, (int, float))
+            and self.potential.smearing <= 0
+        ):
+            raise ValueError(
+                f"`smearing` is {self.potential.smearing} but must be positive"
+            )
+        if self._method == "Lagrange" and self.interpolation_nodes not in (3, 4, 5, 6, 7):
+            raise ValueError(
+                f"`interpolation_nodes` is {self.interpolation_nodes} but only "
+                "values from 3 to 7 for method 'Lagrange' are allowed"
+            )
+
+    # hook overridden by P3M: the reciprocal-space filter on the rFFT grid
+    def _kspace_filter(self, cell: Array, ns: tuple[int, int, int]) -> Array:
+        return compute_kspace_filter(self.potential.lr_from_k_sq, cell, ns)
+
+    def get_ns_mesh(self, cell) -> tuple[int, int, int]:
+        """Static mesh shape for a concrete cell (pass as ``ns_mesh`` under jit)."""
+        return get_ns_mesh(cell, self.mesh_spacing)
+
+    def _compute_kspace(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        periodic: Array | None = None,
+        kvectors: Array | None = None,
+        node_mask: Array | None = None,
+        ns_mesh: tuple[int, int, int] | None = None,
+    ) -> Array:
+        if kvectors is not None:
+            raise NotImplementedError(
+                "Mesh calculators build their own k-grid; precomputed `kvectors` "
+                "are only supported by the Ewald calculator"
+            )
+        if ns_mesh is None:
+            # mesh shape must be static: computed eagerly from a concrete cell
+            # (raises with guidance when `cell` is traced)
+            ns_mesh = self.get_ns_mesh(cell)
+        ns_mesh = tuple(int(n) for n in ns_mesh)
+
+        interp = compute_interpolation(
+            positions,
+            jnp.linalg.inv(cell),
+            ns_mesh,
+            self.interpolation_nodes,
+            self._method,
+        )
+        rho_mesh = points_to_mesh(interp, charges)
+
+        kfilter = self._kspace_filter(cell, ns_mesh)
+        # backward/forward norm pair: no 1/n factor in either FFT direction
+        potential_mesh = apply_kspace_filter(
+            rho_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
+        )
+
+        volume = jnp.abs(jnp.linalg.det(cell))
+        energy = mesh_to_points(interp, potential_mesh) / volume
+
+        # smearing-dependent self-interaction of each particle's screening density
+        energy = energy - charges * self.potential.self_contribution()
+
+        # neutralizing background for charged cells (×2 compensates the final /2)
+        charge_tot = jnp.sum(charges, axis=0)
+        energy = (
+            energy - 2 * self.potential.background_correction() * charge_tot / volume
+        )
+
+        energy = energy + self.potential.pbc_correction(
+            periodic, positions, cell, charges
+        )
+        if node_mask is not None:
+            energy = energy * node_mask[:, None]
+        # compensate double counting of pairs (i,j) and (j,i)
+        return energy / 2
+
+    def __call__(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        neighbor_indices: Array,
+        neighbor_distances: Array,
+        periodic: Array | None = None,
+        node_mask: Array | None = None,
+        pair_mask: Array | None = None,
+        kvectors: Array | None = None,
+        ns_mesh: tuple[int, int, int] | None = None,
+    ) -> Array:
+        """Same contract as :meth:`Calculator.__call__`, plus ``ns_mesh``:
+        a static mesh shape enabling jit/grad-through-cell (compute it once
+        eagerly with :meth:`get_ns_mesh`)."""
+        from ..utils.validation import validate_parameters
+
+        validate_parameters(
+            charges=charges,
+            cell=cell,
+            positions=positions,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            periodic=periodic,
+            pair_mask=pair_mask,
+            node_mask=node_mask,
+            kvectors=kvectors,
+        )
+        potential_sr = self._compute_rspace(
+            charges=charges,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            pair_mask=pair_mask,
+        )
+        potential_lr = self._compute_kspace(
+            charges=charges,
+            cell=cell,
+            positions=positions,
+            periodic=periodic,
+            kvectors=kvectors,
+            node_mask=node_mask,
+            ns_mesh=ns_mesh,
+        )
+        return potential_sr + potential_lr
+
+    forward = __call__

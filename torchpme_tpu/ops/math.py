@@ -1,0 +1,70 @@
+"""Scalar math primitives for range-separated potentials.
+
+TPU-native counterpart of the reference math tier
+(``/root/reference/src/torchpme/lib/math.py:1-104``).  Unlike the reference,
+which hand-ports the E1 power series / continued fraction from scipy and wraps
+it in a custom ``autograd.Function``, JAX ships differentiable
+``jax.scipy.special.exp1`` natively, so the whole tier reduces to thin,
+jit-friendly compositions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+from jax.scipy import special as _jsp
+
+__all__ = ["gamma", "exp1", "gammaincc_over_powerlaw", "CustomExp1"]
+
+
+def gamma(x: Array) -> Array:
+    r"""(Complete) Gamma function :math:`\Gamma(x)` for positive arguments.
+
+    Composed as ``exp(gammaln(x))`` so it is differentiable and jittable
+    (parity with reference ``lib/math.py:5-13``).
+    """
+    return jnp.exp(_jsp.gammaln(x))
+
+
+def exp1(x: Array) -> Array:
+    r"""Exponential integral :math:`E_1(x) = \int_x^\infty e^{-t}/t\,dt` for x > 0.
+
+    Thin alias of :func:`jax.scipy.special.exp1`, which is differentiable
+    (:math:`dE_1/dx = -e^{-x}/x`) — the reference needed a hand-written
+    ``autograd.Function`` for this (``lib/math.py:16-76``).
+    """
+    return _jsp.exp1(x)
+
+
+# Backwards-compat name mirroring the reference's private autograd class;
+# in JAX the primitive is already differentiable so it is the same function.
+CustomExp1 = exp1
+
+
+def gammaincc_over_powerlaw(exponent: int, z: Array) -> Array:
+    r"""Closed forms of :math:`\Gamma(1 - p/2, z)\, z^{p/2 - 1}`-type integrals.
+
+    Evaluates the upper-incomplete-gamma-over-power-law combination that enters
+    the Fourier transform of :math:`1/r^p` potentials, for integer exponents
+    ``p = 1..6`` (parity with reference ``lib/math.py:79-104``; this closed-form
+    table is what limits the supported exponents).
+
+    :param exponent: static integer exponent ``p`` of the power law.
+    :param z: positive values at which to evaluate.
+    """
+    if exponent == 1:
+        return jnp.exp(-z) / z
+    if exponent == 2:
+        return jnp.sqrt(jnp.pi / z) * _jsp.erfc(jnp.sqrt(z))
+    if exponent == 3:
+        return exp1(z)
+    if exponent == 4:
+        return 2 * (jnp.exp(-z) - jnp.sqrt(jnp.pi * z) * _jsp.erfc(jnp.sqrt(z)))
+    if exponent == 5:
+        return jnp.exp(-z) - z * exp1(z)
+    if exponent == 6:
+        return (
+            (2 - 4 * z) * jnp.exp(-z)
+            + 4 * jnp.sqrt(jnp.pi * z**3) * _jsp.erfc(jnp.sqrt(z))
+        ) / 3
+    raise ValueError(f"Unsupported exponent: {exponent}")

@@ -1,0 +1,345 @@
+"""Charge spreading onto a mesh and back-interpolation of mesh fields.
+
+TPU-native counterpart of
+``/root/reference/src/torchpme/lib/mesh_interpolator.py``.  Design differences:
+
+* **Functional core.**  :func:`compute_interpolation` returns an immutable
+  :class:`MeshInterpolationWeights` pytree; :func:`points_to_mesh` and
+  :func:`mesh_to_points` are pure functions of it.  Spreading and gathering
+  are exact transposes, so JAX's autodiff gives the force back-interpolation
+  for free — no mutable cached state (the reference stores weights on the
+  module, ``mesh_interpolator.py:71-79``).
+* **Coefficient tables, not unrolled polynomials.**  The published P3M
+  (Deserno & Holm, JCP 109, 7678 (1998)) and Lagrange (Essmann et al., JCP
+  103, 8577 (1995)) 1D charge-assignment polynomials are evaluated as a single
+  dense ``(nodes, nodes) @ (nodes, N·3)`` matmul over a power basis — an
+  MXU-shaped contraction instead of ``nodes`` unrolled expressions
+  (reference ``mesh_interpolator.py:156-301``).
+* **Single linearized scatter/gather.**  The 3D stencil is flattened to one
+  linear index per (stencil-point, atom) pair and accumulated with one XLA
+  scatter-add (one gather on the way back), which XLA:TPU handles as a single
+  fused kernel rather than ``n_channels`` sequential ``index_put_`` calls
+  (reference ``mesh_interpolator.py:411-424``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from .kvectors import get_ns_mesh  # noqa: F401  (re-exported convenience)
+
+__all__ = [
+    "MeshInterpolationWeights",
+    "compute_1d_weights",
+    "compute_interpolation",
+    "points_to_mesh",
+    "mesh_to_points",
+    "mesh_xyz",
+    "MeshInterpolator",
+]
+
+
+def _weight_coefficients(method: str, nodes: int) -> np.ndarray:
+    """Rows = stencil node, cols = ascending powers of the offset ``x``.
+
+    P3M coefficients: Deserno & Holm table (JCP 109, 7678 (1998)); Lagrange
+    coefficients: Essmann et al. (JCP 103, 8577 (1995)).  ``x`` lives in
+    [-1/2, 1/2] relative to the stencil center.
+    """
+    if method == "P3M":
+        tables = {
+            1: [[1.0]],
+            2: np.array([[1, -2], [1, 2]]) / 2,
+            3: np.array([[1, -4, 4], [6, 0, -8], [1, 4, 4]]) / 8,
+            4: np.array(
+                [
+                    [1, -6, 12, -8],
+                    [23, -30, -12, 24],
+                    [23, 30, -12, -24],
+                    [1, 6, 12, 8],
+                ]
+            )
+            / 48,
+            5: np.array(
+                [
+                    [1, -8, 24, -32, 16],
+                    [76, -176, 96, 64, -64],
+                    [230, 0, -240, 0, 96],
+                    [76, 176, 96, -64, -64],
+                    [1, 8, 24, 32, 16],
+                ]
+            )
+            / 384,
+        }
+        if nodes not in tables:
+            raise ValueError(
+                f"`interpolation_nodes` is {nodes} but only values "
+                "from 1 to 5 for method 'P3M' are allowed"
+            )
+    elif method == "Lagrange":
+        tables = {
+            3: np.array([[0, -1, 1], [2, 0, -2], [0, 1, 1]]) / 2,
+            4: np.array(
+                [
+                    [-3, 2, 12, -8],
+                    [27, -54, -12, 24],
+                    [27, 54, -12, -24],
+                    [-3, -2, 12, 8],
+                ]
+            )
+            / 48,
+            5: np.array(
+                [
+                    [0, 2, -1, -2, 1],
+                    [0, -16, 16, 4, -4],
+                    [24, 0, -30, 0, 6],
+                    [0, 16, 16, -4, -4],
+                    [0, -2, -1, 2, 1],
+                ]
+            )
+            / 24,
+            6: np.array(
+                [
+                    [45, -18, -200, 80, 80, -32],
+                    [-375, 250, 1560, -1040, -240, 160],
+                    [2250, -4500, -1360, 2720, 160, -320],
+                    [2250, 4500, -1360, -2720, 160, 320],
+                    [-375, -250, 1560, 1040, -240, -160],
+                    [45, 18, -200, -80, 80, 32],
+                ]
+            )
+            / 3840,
+            7: np.array(
+                [
+                    [0, -12, 4, 15, -5, -3, 1],
+                    [0, 108, -54, -120, 60, 12, -6],
+                    [0, -540, 540, 195, -195, -15, 15],
+                    [720, 0, -980, 0, 280, 0, -20],
+                    [0, 540, 540, -195, -195, 15, 15],
+                    [0, -108, -54, 120, 60, -12, -6],
+                    [0, 12, 4, -15, -5, 3, 1],
+                ]
+            )
+            / 720,
+        }
+        if nodes not in tables:
+            raise ValueError(
+                f"`interpolation_nodes` is {nodes} but only values "
+                "from 3 to 7 for method 'Lagrange' are allowed"
+            )
+    else:
+        raise ValueError(
+            f"method '{method}' is not supported. Choose from 'Lagrange' or 'P3M'"
+        )
+    return np.asarray(tables[nodes], dtype=np.float64)
+
+
+def compute_1d_weights(x: Array, nodes: int, method: str) -> Array:
+    """1D interpolation weights for relative offsets ``x`` in [-1/2, 1/2].
+
+    :param x: offsets of any shape (typically ``(N, 3)``).
+    :param nodes: static number of stencil nodes per axis.
+    :param method: static ``"Lagrange"`` or ``"P3M"``.
+    :return: weights of shape ``(nodes, *x.shape)``.
+    """
+    coeffs = jnp.asarray(_weight_coefficients(method, nodes), dtype=x.dtype)
+    # power basis [1, x, x², ...]: (nodes, *x.shape)
+    powers = jnp.stack([x**m for m in range(nodes)])
+    return jnp.tensordot(coeffs, powers, axes=1)
+
+
+from dataclasses import field as _field  # noqa: E402
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MeshInterpolationWeights:
+    """Precomputed stencil for spreading/gathering a set of points.
+
+    ``linear_indices``/``combined_weights`` have shape ``(nodes³, N)``: one
+    flattened mesh index and the product of the three per-axis weights for
+    every (stencil point, atom) pair.  ``ns`` is static mesh-shape metadata.
+    """
+
+    linear_indices: Array
+    combined_weights: Array
+    ns: tuple[int, int, int] = _field(metadata=dict(static=True), default=(1, 1, 1))
+
+
+def compute_interpolation(
+    positions: Array,
+    inverse_cell: Array,
+    ns: tuple[int, int, int],
+    interpolation_nodes: int,
+    method: str,
+) -> MeshInterpolationWeights:
+    """Stencil indices and weights for interpolating ``positions`` on a mesh.
+
+    :param positions: ``(N, 3)`` Cartesian coordinates.
+    :param inverse_cell: inverse of the ``(3, 3)`` cell matrix.
+    :param ns: static mesh shape ``(nx, ny, nz)``.
+    :param interpolation_nodes: static stencil size ``n`` per axis (``n³``
+        mesh points receive weight from each particle).
+    :param method: static ``"Lagrange"`` (PME) or ``"P3M"``.
+
+    Grid centering follows the parity rule of the reference
+    (``mesh_interpolator.py:329-341``): even-``n`` stencils center between the
+    two nearest grid points, odd-``n`` stencils on the nearest grid point.
+    """
+    ns = tuple(int(n) for n in ns)
+    nodes = int(interpolation_nodes)
+    ns_arr = jnp.asarray(ns, dtype=positions.dtype)
+    rel = (positions @ inverse_cell) * ns_arr  # fractional coords × mesh size
+
+    if nodes % 2 == 0:
+        base_idx = jnp.floor(rel).astype(jnp.int32)
+        offsets = rel - (base_idx + 0.5)
+    else:
+        base_idx = jnp.round(rel).astype(jnp.int32)
+        offsets = rel - base_idx
+
+    weights_1d = compute_1d_weights(offsets, nodes, method)  # (nodes, N, 3)
+
+    shifts = np.arange(1 - (nodes + 1) // 2, 1 + nodes // 2)
+    idx = (base_idx[None, :, :] + jnp.asarray(shifts, dtype=jnp.int32)[:, None, None]) % jnp.asarray(ns, dtype=jnp.int32)
+
+    # flatten the n×n×n stencil: sa/sb/sc enumerate the per-axis node choice
+    sa, sb, sc = np.meshgrid(
+        np.arange(nodes), np.arange(nodes), np.arange(nodes), indexing="ij"
+    )
+    sa, sb, sc = sa.ravel(), sb.ravel(), sc.ravel()
+
+    ix = idx[sa, :, 0]  # (nodes³, N)
+    iy = idx[sb, :, 1]
+    iz = idx[sc, :, 2]
+    linear = (ix * ns[1] + iy) * ns[2] + iz
+
+    combined = (
+        weights_1d[sa, :, 0] * weights_1d[sb, :, 1] * weights_1d[sc, :, 2]
+    )  # (nodes³, N)
+    return MeshInterpolationWeights(linear, combined, ns)
+
+
+def points_to_mesh(
+    interp: MeshInterpolationWeights, particle_weights: Array
+) -> Array:
+    """Spread per-particle weights onto the mesh (forward interpolation).
+
+    :param particle_weights: ``(N, n_channels)`` charges per channel.
+    :return: density mesh of shape ``(n_channels, nx, ny, nz)``.
+    """
+    if particle_weights.ndim != 2:
+        raise ValueError(
+            f"`particle_weights` of dimension {particle_weights.ndim} has to be "
+            "of dimension 2"
+        )
+    nx, ny, nz = interp.ns
+    n_channels = particle_weights.shape[1]
+    # (C, nodes³·N) values scattered at (nodes³·N,) linear indices
+    values = (
+        particle_weights.T[:, None, :] * interp.combined_weights[None, :, :]
+    ).reshape(n_channels, -1)
+    flat_idx = interp.linear_indices.reshape(-1)
+    mesh = jnp.zeros((n_channels, nx * ny * nz), dtype=particle_weights.dtype)
+    mesh = mesh.at[:, flat_idx].add(values)
+    return mesh.reshape(n_channels, nx, ny, nz)
+
+
+def mesh_to_points(interp: MeshInterpolationWeights, mesh_vals: Array) -> Array:
+    """Interpolate a mesh field back to the particle positions (transpose of
+    :func:`points_to_mesh` with the same weights).
+
+    :param mesh_vals: ``(n_channels, nx, ny, nz)`` field on the mesh.
+    :return: ``(N, n_channels)`` interpolated values.
+    """
+    if mesh_vals.ndim != 4:
+        raise ValueError(
+            f"`mesh_vals` of dimension {mesh_vals.ndim} has to be of dimension 4"
+        )
+    n_channels = mesh_vals.shape[0]
+    flat_mesh = mesh_vals.reshape(n_channels, -1)
+    gathered = flat_mesh[:, interp.linear_indices]  # (C, nodes³, N)
+    return jnp.sum(gathered * interp.combined_weights[None], axis=1).T
+
+
+def mesh_xyz(cell: Array, ns: tuple[int, int, int]) -> Array:
+    """Cartesian coordinates of the mesh points, shape ``(nx, ny, nz, 3)``."""
+    fracs = [jnp.arange(n, dtype=cell.dtype) / n for n in ns]
+    grid = jnp.stack(jnp.meshgrid(*fracs, indexing="ij"), axis=-1)
+    return grid @ cell
+
+
+class MeshInterpolator:
+    """Stateful convenience shell over the functional mesh-interpolation core.
+
+    Mirrors the reference class API (``update`` / ``compute_weights`` /
+    ``points_to_mesh`` / ``mesh_to_points`` / ``get_mesh_xyz``,
+    ``mesh_interpolator.py:4-457``) for eager and exploratory use (e.g. LODE
+    feature pipelines).  Jitted calculator internals use the pure functions
+    directly.
+    """
+
+    def __init__(
+        self,
+        cell: Array,
+        ns_mesh,
+        interpolation_nodes: int,
+        method: str,
+    ):
+        _weight_coefficients(method, interpolation_nodes)  # validate eagerly
+        self.method = method
+        self.interpolation_nodes = int(interpolation_nodes)
+        self._interp: MeshInterpolationWeights | None = None
+        self.update(cell, ns_mesh)
+
+    def update(self, cell: Array | None = None, ns_mesh=None) -> None:
+        """Refresh the cell and/or mesh shape this interpolator targets."""
+        if cell is not None:
+            cell = jnp.asarray(cell)
+            if cell.shape != (3, 3):
+                raise ValueError(
+                    f"cell of shape {list(cell.shape)} should be of shape (3, 3)"
+                )
+            self.cell = cell
+            self.inverse_cell = jnp.linalg.inv(cell)
+        if ns_mesh is not None:
+            ns_tuple = tuple(int(n) for n in np.asarray(ns_mesh).reshape(-1))
+            if len(ns_tuple) != 3:
+                raise ValueError(
+                    f"shape {[len(ns_tuple)]} of `ns_mesh` has to be (3,)"
+                )
+            self.ns_mesh = ns_tuple
+
+    def get_mesh_xyz(self) -> Array:
+        """Cartesian positions of the mesh points, ``(nx, ny, nz, 3)``."""
+        return mesh_xyz(self.cell, self.ns_mesh)
+
+    def compute_weights(self, positions: Array) -> MeshInterpolationWeights:
+        if positions.ndim != 2 or positions.shape[1] != 3:
+            raise ValueError(
+                f"shape {list(positions.shape)} of `positions` has to be (N, 3)"
+            )
+        self._interp = compute_interpolation(
+            positions,
+            self.inverse_cell,
+            self.ns_mesh,
+            self.interpolation_nodes,
+            self.method,
+        )
+        return self._interp
+
+    def points_to_mesh(self, particle_weights: Array) -> Array:
+        if self._interp is None:
+            raise ValueError("Call `compute_weights` before `points_to_mesh`.")
+        return points_to_mesh(self._interp, particle_weights)
+
+    def mesh_to_points(self, mesh_vals: Array) -> Array:
+        if self._interp is None:
+            raise ValueError("Call `compute_weights` before `mesh_to_points`.")
+        return mesh_to_points(self._interp, mesh_vals)

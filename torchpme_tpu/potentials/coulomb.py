@@ -1,0 +1,120 @@
+"""Smoothed Coulomb 1/r potential with Gaussian range separation.
+
+TPU-native counterpart of ``/root/reference/src/torchpme/potentials/coulomb.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.scipy import special as _jsp
+
+from .potential import Potential
+
+__all__ = ["CoulombPotential", "slab_correction_1r"]
+
+
+def slab_correction_1r(
+    periodic: Array | None,
+    positions: Array,
+    cell: Array,
+    charges: Array,
+) -> Array:
+    r"""Yeh–Berkowitz-style slab (2D-periodic) energy correction for 1/r.
+
+    Active only when exactly two directions are periodic; the non-periodic
+    axis is found from the ``periodic`` mask.  Fully branch-free so it works
+    under ``jit`` and ``vmap`` with a traced ``periodic`` mask (parity with
+    reference ``potentials/coulomb.py:6-40``).
+    """
+    if periodic is None:
+        return jnp.zeros_like(charges)
+    periodic = jnp.asarray(periodic)
+    is_2d = jnp.sum(periodic) == 2
+    # index of the single non-periodic axis (0 when fully periodic — then the
+    # whole term is switched off by the `is_2d` select below)
+    axis = jnp.argmax(jnp.where(is_2d, (~periodic).astype(jnp.int32), 0))
+
+    z_i = jnp.take(positions, axis, axis=1)[:, None]  # (N, 1)
+    basis_len = jnp.take(jnp.linalg.norm(cell, axis=-1), axis)
+    volume = jnp.abs(jnp.linalg.det(cell))
+    charge_tot = jnp.sum(charges, axis=0)  # (n_channels,)
+    m_axis = jnp.sum(charges * z_i, axis=0)
+    m_axis_sq = jnp.sum(charges * z_i**2, axis=0)
+    e_slab = (4.0 * jnp.pi / volume) * (
+        z_i * m_axis
+        - 0.5 * (m_axis_sq + charge_tot * z_i**2)
+        - charge_tot / 12.0 * basis_len**2
+    )
+    return jnp.where(is_2d, e_slab, jnp.zeros_like(charges))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CoulombPotential(Potential):
+    r"""Smoothed electrostatic Coulomb potential :math:`1/r`.
+
+    The SR/LR split is the classic Ewald erf/erfc split determined by the
+    Gaussian ``smearing`` width :math:`\sigma`:
+
+    * full potential :math:`1/r`,
+    * long range :math:`\mathrm{erf}(r/\sigma\sqrt2)/r`,
+    * Fourier kernel :math:`4\pi e^{-\sigma^2 k^2/2}/k^2` (zero at k = 0,
+      which implicitly enforces charge neutrality).
+    """
+
+    def from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        result = 1.0 / jnp.maximum(dist, 1e-15)
+        if pair_mask is not None:
+            result = result * pair_mask
+        return self.prefactor * result
+
+    def lr_from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute long-range contribution without specifying `smearing`."
+            )
+        result = _jsp.erf(dist / self.smearing / 2.0**0.5) / jnp.maximum(dist, 1e-12)
+        if pair_mask is not None:
+            result = result * pair_mask
+        return self.prefactor * result
+
+    def lr_from_k_sq(self, k_sq: Array) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute long-range kernel without specifying `smearing`."
+            )
+        # double-where trick keeps the k = 0 singularity out of the backward
+        # pass (NaN-safe gradients, see jax-ml/jax#1052)
+        masked = jnp.where(k_sq == 0, 1.0, k_sq)
+        return self.prefactor * jnp.where(
+            k_sq == 0,
+            0.0,
+            4 * jnp.pi * jnp.exp(-0.5 * self.smearing**2 * masked) / masked,
+        )
+
+    def self_contribution(self) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute self contribution without specifying `smearing`."
+            )
+        return self.prefactor * (2 / jnp.pi) ** 0.5 / self.smearing
+
+    def background_correction(self) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute background correction without specifying `smearing`."
+            )
+        return self.prefactor * jnp.pi * self.smearing**2
+
+    def pbc_correction(
+        self,
+        periodic: Array | None,
+        positions: Array,
+        cell: Array,
+        charges: Array,
+    ) -> Array:
+        return self.prefactor * slab_correction_1r(periodic, positions, cell, charges)

@@ -1,0 +1,130 @@
+"""Point-dipole pair interaction with Ewald range separation.
+
+TPU-native counterpart of
+``/root/reference/src/torchpme/potentials/potential_dipole.py``.  Like the
+reference this is a standalone kernel (not a :class:`Potential` subclass): the
+real-space terms are 3×3 tensors per pair acting on neighbor *vectors*, not
+scalar functions of the distance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .potential import static_field
+
+__all__ = ["PotentialDipole"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PotentialDipole:
+    r"""Dipole–dipole tensor kernel
+    :math:`V(\vec r) = (\vec\mu_i\cdot\vec\mu_j)/r^3 -
+    3(\vec\mu_i\cdot\vec r)(\vec\mu_j\cdot\vec r)/r^5`.
+
+    :param smearing: Gaussian width of the Ewald split (``None`` = direct).
+    :param exclusion_radius: optional local-environment cutoff radius.
+    :param exclusion_degree: raised-cosine cutoff exponent.
+    :param epsilon: dielectric constant of the embedding medium (0 =
+        vacuum/"tin-foil" boundary term disabled).
+    :param prefactor: global unit prefactor.
+    """
+
+    smearing: Array | float | None = None
+    exclusion_radius: Array | float | None = None
+    exclusion_degree: int = static_field(default=1)
+    epsilon: Array | float = 0.0
+    prefactor: Array | float = 1.0
+
+    def f_cutoff(self, vector: Array) -> Array:
+        """Raised-cosine exclusion cutoff evaluated on pair vectors."""
+        if self.exclusion_radius is None:
+            raise ValueError(
+                "Cannot compute cutoff function when `exclusion_radius` is not set"
+            )
+        r_mag = jnp.linalg.norm(vector, axis=1, keepdims=True)
+        r_c = self.exclusion_radius
+        return jnp.where(
+            r_mag < r_c,
+            1 - ((1 - jnp.cos(jnp.pi * (r_mag / r_c))) * 0.5) ** self.exclusion_degree,
+            0.0,
+        )
+
+    def from_dist(self, vector: Array) -> Array:
+        """Full dipolar 3×3 tensor kernel per pair vector, shape (P, 3, 3)."""
+        r_mag = jnp.linalg.norm(vector, axis=1, keepdims=True)
+        inv_r3 = 1.0 / r_mag**3
+        outer = vector[:, :, None] * vector[:, None, :]
+        eye = jnp.eye(3, dtype=vector.dtype)
+        return self.prefactor * (
+            inv_r3[..., None] * eye[None] - 3.0 * outer / r_mag[..., None] ** 5
+        )
+
+    def sr_from_dist(self, vector: Array) -> Array:
+        """Short-range tensor kernel (full minus LR, or windowed LR)."""
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute range-separated potential when `smearing` is "
+                "not specified."
+            )
+        if self.exclusion_radius is None:
+            return self.from_dist(vector) - self.lr_from_dist(vector)
+        return -self.lr_from_dist(vector) * self.f_cutoff(vector)[..., None]
+
+    def lr_from_dist(self, vector: Array) -> Array:
+        r"""Long-range tensor kernel: the Ewald ``B(r) I − C(r) r⊗r`` split."""
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute long-range contribution without specifying `smearing`."
+            )
+        alpha = 1 / (2 * self.smearing**2)
+        sqrt_alpha = jnp.sqrt(alpha)
+        r_mag = jnp.linalg.norm(vector, axis=1, keepdims=True)
+        r2 = r_mag**2
+        outer = vector[:, :, None] * vector[:, None, :]
+        erfc_term = jax.scipy.special.erfc(sqrt_alpha * r_mag)
+        gauss = 2 * jnp.sqrt(alpha / jnp.pi) * jnp.exp(-alpha * r2)
+        b_term = 1.0 / r_mag**3 - erfc_term / r_mag**3 - gauss / r2
+        c_term = (
+            3.0 / r_mag**5
+            - 3.0 * erfc_term / r_mag**5
+            - gauss * (2 * alpha + 3 / r2) / r2
+        )
+        eye = jnp.eye(3, dtype=vector.dtype)
+        return self.prefactor * (
+            b_term[..., None] * eye[None] - outer * c_term[..., None]
+        )
+
+    def lr_from_k_sq(self, k_sq: Array) -> Array:
+        """Same Gaussian-screened Fourier kernel as the Coulomb potential."""
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute long-range kernel without specifying `smearing`."
+            )
+        masked = jnp.where(k_sq == 0, 1.0, k_sq)  # NaN-safe backward
+        return self.prefactor * jnp.where(
+            k_sq == 0,
+            0.0,
+            4 * jnp.pi * jnp.exp(-0.5 * self.smearing**2 * masked) / masked,
+        )
+
+    def self_contribution(self) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute long-range contribution without specifying `smearing`."
+            )
+        alpha = 1 / (2 * self.smearing**2)
+        return self.prefactor * 4 * jnp.pi / 3 * jnp.sqrt((alpha / jnp.pi) ** 3)
+
+    def background_correction(self, volume: Array) -> Array:
+        """Dielectric surface term, 4π/(2ε+1)/V (zero for ε = 0)."""
+        eps = jnp.asarray(self.epsilon)
+        safe = jnp.where(eps == 0.0, 1.0, 2 * eps + 1)
+        return jnp.where(
+            eps == 0.0, 0.0, self.prefactor * 4 * jnp.pi / safe / volume
+        )

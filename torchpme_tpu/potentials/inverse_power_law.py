@@ -1,0 +1,124 @@
+"""Inverse power-law potentials :math:`1/r^p` for integer exponents.
+
+TPU-native counterpart of
+``/root/reference/src/torchpme/potentials/inversepowerlaw.py``.  The exponent
+is static pytree metadata (it selects among closed-form incomplete-gamma
+expressions, so it must be a trace-time constant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.scipy import special as _jsp
+
+from ..ops.math import gamma, gammaincc_over_powerlaw
+from .coulomb import slab_correction_1r
+from .potential import Potential, static_field
+
+__all__ = ["InversePowerLawPotential"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class InversePowerLawPotential(Potential):
+    r"""Range-separated :math:`1/r^p` potential for integer ``p = 1..6``.
+
+    The long-range part is defined through the regularized lower incomplete
+    gamma function :math:`\gamma(p/2, r^2/2\sigma^2)/(r^2/2\sigma^2)^{p/2}`
+    and its Fourier transform through closed forms of the complementary
+    incomplete gamma over a power law (:func:`gammaincc_over_powerlaw`).
+    For ``p > 3`` the :math:`k \to 0` limit is finite and assigned exactly;
+    for ``p ≤ 3`` the k=0 value is zeroed, which corresponds to adding a
+    uniform neutralizing background.
+    """
+
+    exponent: int = static_field(default=1)
+
+    def __post_init__(self):
+        # validates the exponent range eagerly (1..6 have closed forms)
+        gammaincc_over_powerlaw(self.exponent, jnp.asarray(1.0))
+
+    def from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        result = jnp.maximum(dist, 1e-15) ** (-float(self.exponent))
+        if pair_mask is not None:
+            result = result * pair_mask
+        return self.prefactor * result
+
+    def lr_from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute long-range contribution without specifying `smearing`."
+            )
+        x = jnp.maximum(0.5 * dist**2 / self.smearing**2, 1e-15)
+        peff = self.exponent / 2
+        prefac = 1.0 / (2 * self.smearing**2) ** peff
+        result = prefac * _jsp.gammainc(peff, x) / x**peff
+        if pair_mask is not None:
+            result = result * pair_mask
+        return self.prefactor * result
+
+    def lr_from_k_sq(self, k_sq: Array) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute long-range kernel without specifying `smearing`."
+            )
+        peff = (3 - self.exponent) / 2
+        prefac = jnp.pi**1.5 / gamma(jnp.asarray(self.exponent / 2)) * (
+            2 * self.smearing**2
+        ) ** peff
+        x = 0.5 * self.smearing**2 * k_sq
+
+        masked = jnp.where(x == 0, 1.0, x)  # NaN-safe backward (see Coulomb)
+        if self.exponent > 3:
+            # finite k -> 0 limit for rapidly decaying potentials
+            k0_limit = -prefac / peff
+        else:
+            # divergent limit zeroed: implicit neutralizing background
+            k0_limit = jnp.zeros_like(prefac)
+
+        return self.prefactor * jnp.where(
+            k_sq == 0,
+            k0_limit,
+            prefac * gammaincc_over_powerlaw(self.exponent, masked),
+        )
+
+    def self_contribution(self) -> Array:
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute self contribution without specifying `smearing`."
+            )
+        phalf = self.exponent / 2
+        return (
+            self.prefactor
+            / gamma(jnp.asarray(phalf + 1.0))
+            / (2 * self.smearing**2) ** phalf
+        )
+
+    def background_correction(self) -> Array:
+        # diverges at p = 3 and is unneeded for p > 3 (arXiv:2412.03281 SI)
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute background correction without specifying `smearing`."
+            )
+        if self.exponent >= 3:
+            return jnp.zeros_like(jnp.asarray(self.smearing))
+        prefac = jnp.pi**1.5 * (2 * self.smearing**2) ** ((3 - self.exponent) / 2)
+        prefac /= (3 - self.exponent) * gamma(jnp.asarray(self.exponent / 2))
+        return self.prefactor * prefac
+
+    def pbc_correction(
+        self,
+        periodic: Array | None,
+        positions: Array,
+        cell: Array,
+        charges: Array,
+    ) -> Array:
+        if self.exponent == 1:
+            return self.prefactor * slab_correction_1r(
+                periodic, positions, cell, charges
+            )
+        return super().pbc_correction(periodic, positions, cell, charges)

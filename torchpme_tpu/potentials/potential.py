@@ -1,0 +1,142 @@
+"""Base interface for range-separated pair potentials between monopoles.
+
+TPU-native counterpart of ``/root/reference/src/torchpme/potentials/potential.py``.
+Potentials here are immutable pytree dataclasses instead of ``nn.Module``:
+their numeric fields (``smearing``, ``prefactor``, …) are pytree *leaves*, so
+they are traceable, trainable and can be passed straight through ``jit`` /
+``grad`` / ``vmap``; structural choices (``exclusion_degree``) are static
+metadata that participate in trace caching.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+__all__ = ["Potential"]
+
+
+def static_field(**kwargs):
+    """Dataclass field treated as static pytree metadata (not a traced leaf)."""
+    metadata = dict(kwargs.pop("metadata", {}) or {})
+    metadata["static"] = True
+    return field(metadata=metadata, **kwargs)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Potential:
+    r"""Abstract range-separated pair potential, :math:`V(r) = V_{SR}(r) + V_{LR}(r)`.
+
+    Provides the real-space short/long-range split, the reciprocal-space
+    kernel :math:`\hat V_{LR}(k^2)`, and the correction terms (self,
+    background, 2D-periodic) that the calculators assemble.  A ``Potential``
+    also satisfies the k-space-kernel protocol via :meth:`kernel_from_k_sq`,
+    so it can parameterize a :class:`~torchpme_tpu.ops.kspace.KSpaceFilter`
+    directly (parity with reference ``potentials/potential.py:171-177``).
+
+    :param smearing: length scale of the SR/LR switching (``None`` disables
+        range separation; direct real-space evaluation only).
+    :param exclusion_radius: if set, the potential is smoothly zeroed inside
+        this local-environment radius (raised-cosine cutoff).
+    :param exclusion_degree: exponent of the raised-cosine cutoff.
+    :param prefactor: global prefactor, e.g. an electrostatics unit constant
+        (see :mod:`torchpme_tpu.prefactors`).
+    """
+
+    smearing: Array | float | None = None
+    exclusion_radius: Array | float | None = None
+    exclusion_degree: int = static_field(default=1)
+    prefactor: Array | float = 1.0
+
+    # -- real space ---------------------------------------------------------
+
+    def f_cutoff(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        r"""Raised-cosine cutoff :math:`1 - ((1-\cos\pi r/r_c)/2)^n` inside
+        ``exclusion_radius``, zero outside."""
+        if self.exclusion_radius is None:
+            raise ValueError(
+                "Cannot compute cutoff function when `exclusion_radius` is not set"
+            )
+        r_c = self.exclusion_radius
+        result = jnp.where(
+            dist < r_c,
+            1 - ((1 - jnp.cos(jnp.pi * (dist / r_c))) * 0.5) ** self.exclusion_degree,
+            0.0,
+        )
+        if pair_mask is not None:
+            result = result * pair_mask
+        return result
+
+    def from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        """Full pair potential :math:`V(r)` at the given distances."""
+        raise NotImplementedError(
+            f"from_dist is not implemented for {type(self).__name__}"
+        )
+
+    def sr_from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        r"""Short-range part :math:`V_{SR}(r)`.
+
+        Defaults to :math:`V(r) - V_{LR}(r)`; with ``exclusion_radius`` set it
+        becomes :math:`-V_{LR}(r) f_{cut}(r)` so the total potential goes
+        smoothly to zero inside the local region (parity with reference
+        ``potentials/potential.py:106-138``).
+        """
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute range-separated potential when `smearing` is "
+                "not specified."
+            )
+        if self.exclusion_radius is None:
+            return self.from_dist(dist, pair_mask=pair_mask) - self.lr_from_dist(
+                dist, pair_mask=pair_mask
+            )
+        return -self.lr_from_dist(dist, pair_mask=pair_mask) * self.f_cutoff(
+            dist, pair_mask=pair_mask
+        )
+
+    def lr_from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
+        r"""Long-range part :math:`V_{LR}(r)` in real space."""
+        raise NotImplementedError(
+            f"lr_from_dist is not implemented for {type(self).__name__}"
+        )
+
+    # -- reciprocal space ----------------------------------------------------
+
+    def lr_from_k_sq(self, k_sq: Array) -> Array:
+        r"""Fourier transform :math:`\hat V_{LR}` as a function of :math:`k^2`."""
+        raise NotImplementedError(
+            f"lr_from_k_sq is not implemented for {type(self).__name__}"
+        )
+
+    def kernel_from_k_sq(self, k_sq: Array) -> Array:
+        """K-space-kernel protocol: potentials can drive a ``KSpaceFilter``."""
+        return self.lr_from_k_sq(k_sq)
+
+    # -- corrections ----------------------------------------------------------
+
+    def self_contribution(self) -> Array:
+        """Smearing-dependent potential a particle's own screening density
+        generates at its position; always subtracted from k-space sums."""
+        raise NotImplementedError(
+            f"self_contribution is not implemented for {type(self).__name__}"
+        )
+
+    def background_correction(self) -> Array:
+        """Neutralizing-background term compensating a non-neutral cell."""
+        raise NotImplementedError(
+            f"background_correction is not implemented for {type(self).__name__}"
+        )
+
+    def pbc_correction(
+        self,
+        periodic: Array | None,
+        positions: Array,
+        cell: Array,
+        charges: Array,
+    ) -> Array:
+        """Correction for systems with 2D (slab) periodicity; zero by default."""
+        return self.prefactor * jnp.zeros_like(charges)

@@ -1,0 +1,180 @@
+"""Neighbor-list construction (host-side, eager).
+
+The reference library deliberately does *not* compute neighbor lists and
+relies on the external ``vesin`` package (reference ``docs/src/index.rst``
+caution block, ``tests/helpers.py:240-275``).  Since calculators here likewise
+take precomputed ``(i, j)`` indices and distances, this module is a
+convenience for tests, benchmarks and users without an external NL engine.
+
+Two code paths:
+
+* a periodic cKDTree query for orthorhombic cells (O(N log N); used by the
+  100k-atom benchmarks), and
+* an image-replication brute force for arbitrary triclinic cells and
+  non-periodic systems (small systems / tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["neighbor_list", "compute_distances"]
+
+
+def _half_list_filter(i: np.ndarray, j: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    """Keep exactly one of each mirrored pair (i,j,S) / (j,i,-S)."""
+    # lexicographic sign of the shift vector
+    first_nonzero = np.where(
+        shifts[:, 0] != 0,
+        np.sign(shifts[:, 0]),
+        np.where(shifts[:, 1] != 0, np.sign(shifts[:, 1]), np.sign(shifts[:, 2])),
+    )
+    zero_shift = first_nonzero == 0
+    return (zero_shift & (i < j)) | (first_nonzero > 0)
+
+
+def _brute_force(
+    positions: np.ndarray,
+    cell: np.ndarray | None,
+    cutoff: float,
+    periodic: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = positions.shape[0]
+    if cell is None or not periodic:
+        shift_list = [np.zeros(3, dtype=np.int64)]
+        cell_mat = np.zeros((3, 3))
+    else:
+        cell_mat = np.asarray(cell, dtype=np.float64)
+        # number of periodic images needed per axis: cutoff / plane spacing
+        inv = np.linalg.inv(cell_mat)
+        plane_dist = 1.0 / np.linalg.norm(inv, axis=0)
+        n_img = np.ceil(cutoff / plane_dist).astype(int)
+        ranges = [np.arange(-k, k + 1) for k in n_img]
+        shift_list = [
+            np.array(s)
+            for s in np.stack(
+                np.meshgrid(*ranges, indexing="ij"), axis=-1
+            ).reshape(-1, 3)
+        ]
+
+    all_i, all_j, all_d, all_s = [], [], [], []
+    for shift in shift_list:
+        disp = positions[None, :, :] + shift @ cell_mat - positions[:, None, :]
+        dist = np.linalg.norm(disp, axis=-1)
+        mask = dist < cutoff
+        if (shift == 0).all():
+            np.fill_diagonal(mask, False)
+        ii, jj = np.nonzero(mask)
+        all_i.append(ii)
+        all_j.append(jj)
+        all_d.append(dist[ii, jj])
+        all_s.append(np.broadcast_to(shift, (ii.shape[0], 3)))
+    i = np.concatenate(all_i)
+    j = np.concatenate(all_j)
+    d = np.concatenate(all_d)
+    s = np.concatenate(all_s)
+    return i, j, d, s
+
+
+def _kdtree_orthorhombic(
+    positions: np.ndarray, box_lengths: np.ndarray, cutoff: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    from scipy.spatial import cKDTree
+
+    wrapped = np.mod(positions, box_lengths)
+    # cKDTree with boxsize requires points strictly inside the box
+    wrapped = np.where(wrapped >= box_lengths, 0.0, wrapped)
+    tree = cKDTree(wrapped, boxsize=box_lengths)
+    pairs = tree.query_pairs(cutoff, output_type="ndarray")  # half list, i < j
+    i, j = pairs[:, 0], pairs[:, 1]
+    raw = wrapped[j] - wrapped[i]
+    # minimum-image shift for the wrapped coordinates...
+    img_shift = -np.round(raw / box_lengths)
+    disp = raw + img_shift * box_lengths
+    # ... then add back the wrap offsets so shifts refer to the *input* positions
+    wrap_shift = (wrapped - positions) / box_lengths
+    shift = img_shift + np.round(wrap_shift[j] - wrap_shift[i])
+    d = np.linalg.norm(disp, axis=-1)
+    keep = d < cutoff
+    return i[keep], j[keep], d[keep], shift[keep].astype(np.int64)
+
+
+def neighbor_list(
+    positions,
+    cell=None,
+    cutoff: float | None = None,
+    full_list: bool = False,
+    periodic: bool = True,
+):
+    """Compute a neighbor list on the host.
+
+    :param positions: ``(N, 3)`` coordinates (any array-like).
+    :param cell: ``(3, 3)`` cell matrix or ``None`` for open boundaries.
+    :param cutoff: pair cutoff; defaults to half the smallest cell dimension.
+    :param full_list: each pair twice (True) or once (False).
+    :param periodic: apply periodic boundary conditions.
+    :return: ``(indices (P, 2) int, distances (P,), shifts (P, 3) int)`` as
+        numpy arrays; distance of pair ``p`` is
+        ``|pos[j] - pos[i] + shifts[p] @ cell|``.
+    """
+    positions = np.asarray(positions, dtype=np.float64)
+    cell_np = None if cell is None else np.asarray(cell, dtype=np.float64)
+    if cutoff is None:
+        if cell_np is None:
+            raise ValueError("`cutoff` is required for non-periodic systems")
+        cutoff = float(np.min(np.linalg.norm(cell_np, axis=1)) / 2 - 1e-6)
+
+    use_kdtree = (
+        periodic
+        and cell_np is not None
+        and np.allclose(cell_np, np.diag(np.diag(cell_np)))
+        and np.all(np.diag(cell_np) > 2 * cutoff)
+        and positions.shape[0] > 512
+    )
+    if use_kdtree:
+        i, j, d, s = _kdtree_orthorhombic(positions, np.diag(cell_np), cutoff)
+        if full_list:
+            i, j, d, s = (
+                np.concatenate([i, j]),
+                np.concatenate([j, i]),
+                np.concatenate([d, d]),
+                np.concatenate([s, -s]),
+            )
+        indices = np.stack([i, j], axis=1)
+        return indices, d, s
+
+    i, j, d, s = _brute_force(positions, cell_np, cutoff, periodic)
+    if not full_list:
+        keep = _half_list_filter(i, j, s)
+        i, j, d, s = i[keep], j[keep], d[keep], s[keep]
+    indices = np.stack([i, j], axis=1)
+    return indices, d, s.astype(np.int64)
+
+
+def compute_distances(
+    positions,
+    neighbor_indices,
+    cell=None,
+    neighbor_shifts=None,
+    norm: bool = True,
+):
+    """Differentiable pair distances from positions + integer cell shifts.
+
+    This is the pattern users need for force correctness: recompute distances
+    inside the differentiated function so gradients flow to ``positions`` and
+    ``cell`` (parity with reference ``tests/helpers.py:278-304``).
+    """
+    import jax.numpy as jnp
+
+    atom_is = neighbor_indices[:, 0]
+    atom_js = neighbor_indices[:, 1]
+    vectors = positions[atom_js] - positions[atom_is]
+    if cell is not None and neighbor_shifts is not None:
+        vectors = vectors + neighbor_shifts.astype(cell.dtype) @ cell
+    elif cell is not None:
+        raise ValueError("Provided `cell` but no `neighbor_shifts`.")
+    elif neighbor_shifts is not None:
+        raise ValueError("Provided `neighbor_shifts` but no `cell`.")
+    if norm:
+        return jnp.linalg.norm(vectors, axis=1)
+    return vectors
