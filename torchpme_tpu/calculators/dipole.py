@@ -78,10 +78,15 @@ class CalculatorDipole:
             potential = potential.at[atom_js].add(contrib_j)
         return potential / 2
 
+    def get_ns_kvectors(self, cell) -> tuple[int, int, int]:
+        """Static k-space extents for a concrete cell (pass under jit so the
+        k-vectors rebuild from the traced cell — exact cell gradients)."""
+        return get_ns_ewald(cell, self.lr_wavelength)
+
     def compute_kvectors(self, cell) -> Array:
         """Eagerly generate the k-vector set for a concrete cell."""
         return generate_kvectors_for_ewald(
-            jnp.asarray(cell), get_ns_ewald(cell, self.lr_wavelength)
+            jnp.asarray(cell), self.get_ns_kvectors(cell)
         )
 
     def _compute_kspace(
@@ -90,9 +95,15 @@ class CalculatorDipole:
         cell: Array,
         positions: Array,
         kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
     ) -> Array:
         if kvectors is None:
-            kvectors = self.compute_kvectors(cell)
+            if ns_kvectors is not None:
+                kvectors = generate_kvectors_for_ewald(
+                    cell, tuple(int(n) for n in ns_kvectors)
+                )
+            else:
+                kvectors = self.compute_kvectors(cell)
         knorm_sq = jnp.sum(kvectors**2, axis=-1)
         g_kernel = self.potential.lr_from_k_sq(knorm_sq)
 
@@ -121,6 +132,7 @@ class CalculatorDipole:
         neighbor_indices: Array,
         neighbor_vectors: Array,
         kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
     ) -> Array:
         r"""Compute the per-atom dipolar potential.
 
@@ -148,7 +160,11 @@ class CalculatorDipole:
         if self.potential.smearing is None:
             return potential_sr
         potential_lr = self._compute_kspace(
-            dipoles=dipoles, cell=cell, positions=positions, kvectors=kvectors
+            dipoles=dipoles,
+            cell=cell,
+            positions=positions,
+            kvectors=kvectors,
+            ns_kvectors=ns_kvectors,
         )
         return potential_sr + potential_lr
 

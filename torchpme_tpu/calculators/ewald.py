@@ -58,10 +58,19 @@ class EwaldCalculator(Calculator):
                 f"`lr_wavelength` is {self.lr_wavelength} but must be positive"
             )
 
+    def get_ns_kvectors(self, cell) -> tuple[int, int, int]:
+        """Static per-axis k-space extents for a concrete cell.
+
+        Pass the result as ``ns_kvectors=`` under ``jit``: the k-vectors are
+        then rebuilt from the *traced* cell inside the computation, so
+        cell gradients (stress) stay exact.
+        """
+        return get_ns_ewald(cell, self.lr_wavelength)
+
     def compute_kvectors(self, cell) -> Array:
         """Eagerly generate the k-vector set for a concrete cell."""
         return generate_kvectors_for_ewald(
-            jnp.asarray(cell), get_ns_ewald(cell, self.lr_wavelength)
+            jnp.asarray(cell), self.get_ns_kvectors(cell)
         )
 
     def _compute_kspace(
@@ -72,10 +81,17 @@ class EwaldCalculator(Calculator):
         periodic: Array | None = None,
         kvectors: Array | None = None,
         node_mask: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
     ) -> Array:
         if kvectors is None:
-            # requires a concrete cell; raises a helpful error under tracing
-            kvectors = self.compute_kvectors(cell)
+            if ns_kvectors is not None:
+                # static extents, traced cell: differentiable w.r.t. cell
+                kvectors = generate_kvectors_for_ewald(
+                    cell, tuple(int(n) for n in ns_kvectors)
+                )
+            else:
+                # requires a concrete cell; raises a helpful error under tracing
+                kvectors = self.compute_kvectors(cell)
 
         knorm_sq = jnp.sum(kvectors**2, axis=-1)
         # Fourier kernel of the screened long-range potential; its k=0 entry is
@@ -109,3 +125,53 @@ class EwaldCalculator(Calculator):
             energy = energy * node_mask[:, None]
         # compensate double counting of pairs (i,j) and (j,i)
         return energy / 2
+
+    def __call__(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        neighbor_indices: Array,
+        neighbor_distances: Array,
+        periodic: Array | None = None,
+        node_mask: Array | None = None,
+        pair_mask: Array | None = None,
+        kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+    ) -> Array:
+        """Same contract as :meth:`Calculator.__call__`, plus ``ns_kvectors``:
+        static k-space extents (from :meth:`get_ns_kvectors`) that let the
+        k-vectors be rebuilt from the traced cell under ``jit``/``grad`` —
+        required for exact stress; a precomputed ``kvectors`` array is treated
+        as cell-independent (appropriate for padded vmap batching)."""
+        from ..utils.validation import validate_parameters
+
+        validate_parameters(
+            charges=charges,
+            cell=cell,
+            positions=positions,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            periodic=periodic,
+            pair_mask=pair_mask,
+            node_mask=node_mask,
+            kvectors=kvectors,
+        )
+        potential_sr = self._compute_rspace(
+            charges=charges,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            pair_mask=pair_mask,
+        )
+        potential_lr = self._compute_kspace(
+            charges=charges,
+            cell=cell,
+            positions=positions,
+            periodic=periodic,
+            kvectors=kvectors,
+            node_mask=node_mask,
+            ns_kvectors=ns_kvectors,
+        )
+        return potential_sr + potential_lr
+
+    forward = __call__

@@ -40,6 +40,9 @@ class P3MCalculator(PMECalculator):
 
     def __post_init__(self):
         # Validate like PME but with the P3M node range.
+        from .calculator import Calculator
+
+        Calculator.__post_init__(self)
         if self.potential.smearing is None:
             raise ValueError(
                 "Must specify smearing to use a potential with P3MCalculator"

@@ -283,6 +283,6 @@ class GridSearchTuner(TunerBase):
         extra = {}
         if hasattr(calculator, "get_ns_mesh"):
             extra["ns_mesh"] = calculator.get_ns_mesh(self.cell)
-        elif hasattr(calculator, "compute_kvectors"):
-            extra["kvectors"] = calculator.compute_kvectors(self.cell)
+        elif hasattr(calculator, "get_ns_kvectors"):
+            extra["ns_kvectors"] = calculator.get_ns_kvectors(self.cell)
         return self.time_func(calculator, **extra)
