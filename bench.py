@@ -1,0 +1,217 @@
+"""Headline benchmark: PME energy+force ms/step on a ~100k-atom water box.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- value: median ms per jitted energy+force step on the current default JAX
+  device (the TPU chip under axon), at parameters meeting 1e-4 accuracy per
+  the PME error bound (cutoff 5 Å, water number density).
+- vs_baseline: speedup over the reference lab-cosmo/torch-pme running the
+  identical system on local CPU (measured once, cached in
+  BASELINE_local.json) — the reference publishes no numbers (BASELINE.md),
+  so the locally measured reference is the baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+BASELINE_CACHE = REPO / "BASELINE_local.json"
+
+N_ATOMS = int(os.environ.get("BENCH_N", 102_000))
+CUTOFF = 5.0
+ACCURACY = 1e-4
+N_WARMUP = 2
+N_REPEAT = 10
+
+
+def build_system(n_atoms: int, seed: int = 0):
+    from torchpme_tpu.utils.neighbors import neighbor_list
+
+    rng = np.random.default_rng(seed)
+    box = float((n_atoms / 0.1) ** (1 / 3))  # water number density
+    positions = rng.uniform(0.0, box, (n_atoms, 3))
+    base = np.tile([-0.84, 0.42, 0.42], n_atoms // 3 + 1)[:n_atoms]
+    base -= base.mean()
+    charges = base.reshape(-1, 1)
+    cell = np.eye(3) * box
+    idx, dist, _ = neighbor_list(positions, cell, cutoff=CUTOFF)
+    return positions, charges, cell, idx, dist, box
+
+
+def choose_parameters(charges, cell, positions):
+    """Smearing from the real-space bound at accuracy/4; coarsest mesh meeting
+    the total bound (pure error-bound screen, no timing)."""
+    import jax.numpy as jnp
+
+    from torchpme_tpu.tuning import PMEErrorBounds
+
+    n = positions.shape[0]
+    volume = float(abs(np.linalg.det(cell)))
+    prefac = 2 * float((charges**2).sum()) / math.sqrt(n)
+    ratio = math.sqrt(
+        -2 * math.log(ACCURACY / 2 / prefac * math.sqrt(CUTOFF * volume))
+    )
+    smearing = CUTOFF / ratio
+
+    bounds = PMEErrorBounds(
+        jnp.asarray(charges), jnp.asarray(cell), jnp.asarray(positions)
+    )
+    best = None
+    min_dim = float(np.min(np.linalg.norm(cell, axis=1)))
+    for nodes in (4, 5):
+        for ns in range(3, 9):
+            spacing = 2 * min_dim / (2**ns - 1)
+            err = float(
+                bounds(
+                    smearing=smearing,
+                    mesh_spacing=spacing,
+                    cutoff=CUTOFF,
+                    interpolation_nodes=nodes,
+                )
+            )
+            if err <= ACCURACY:
+                cost = nodes**3 / spacing**0  # prefer fewer nodes, then coarser mesh
+                if best is None or spacing > best[2] or (
+                    spacing == best[2] and nodes < best[1]
+                ):
+                    best = (err, nodes, spacing)
+                break  # coarsest passing mesh for this node count
+    if best is None:
+        raise RuntimeError("no PME parameters meet the accuracy bound")
+    return smearing, best[1], best[2], best[0]
+
+
+def bench_ours(positions, charges, cell, idx, dist, smearing, nodes, spacing):
+    import jax
+    import jax.numpy as jnp
+
+    import torchpme_tpu as tpme
+
+    dtype = jnp.float32
+    charges_j = jnp.asarray(charges, dtype=dtype)
+    cell_j = jnp.asarray(cell, dtype=dtype)
+    positions_j = jnp.asarray(positions, dtype=dtype)
+    idx_j = jnp.asarray(idx)
+    dist_j = jnp.asarray(dist, dtype=dtype)
+
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=smearing),
+        mesh_spacing=spacing,
+        interpolation_nodes=nodes,
+    )
+    ns_mesh = calc.get_ns_mesh(cell_j)
+
+    def energy(positions):
+        pot = calc(charges_j, cell_j, positions, idx_j, dist_j, ns_mesh=ns_mesh)
+        return jnp.sum(pot * charges_j)
+
+    step = jax.jit(jax.value_and_grad(energy))
+
+    times = []
+    for i in range(N_WARMUP + N_REPEAT):
+        start = time.monotonic()
+        out = step(positions_j)
+        jax.block_until_ready(out)
+        if i >= N_WARMUP:
+            times.append(time.monotonic() - start)
+    return float(np.median(times) * 1e3), ns_mesh, float(out[0])
+
+
+def bench_reference_cpu(positions, charges, cell, idx, dist, smearing, nodes, spacing):
+    """Measure lab-cosmo/torch-pme (pure-python torch) on local CPU, cached."""
+    key = f"torchpme_cpu_pme_n{N_ATOMS}"
+    if BASELINE_CACHE.exists():
+        cache = json.loads(BASELINE_CACHE.read_text())
+        if key in cache:
+            return cache[key]
+    else:
+        cache = {}
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import torch
+        import torchpme
+
+        torch.set_num_threads(os.cpu_count() or 8)
+        dd = dict(dtype=torch.float32)
+        charges_t = torch.tensor(charges, **dd)
+        cell_t = torch.tensor(cell, **dd)
+        positions_t = torch.tensor(positions, **dd, requires_grad=True)
+        idx_t = torch.tensor(idx, dtype=torch.long)
+        dist_t = torch.tensor(dist, **dd)
+        calc = torchpme.PMECalculator(
+            torchpme.CoulombPotential(smearing=smearing),
+            mesh_spacing=spacing,
+            interpolation_nodes=nodes,
+        )
+        calc.to(dtype=torch.float32)
+        times = []
+        for i in range(1 + 2):
+            start = time.monotonic()
+            pot = calc.forward(
+                charges=charges_t,
+                cell=cell_t,
+                positions=positions_t,
+                neighbor_indices=idx_t,
+                neighbor_distances=dist_t,
+            )
+            energy = (pot * charges_t).sum()
+            energy.backward()
+            positions_t.grad = None
+            if i >= 1:
+                times.append(time.monotonic() - start)
+        ms = float(np.median(times) * 1e3)
+    except Exception as err:  # reference unavailable: no baseline
+        print(f"# baseline measurement failed: {err!r}", file=sys.stderr)
+        ms = None
+    finally:
+        sys.path.remove("/root/reference/src")
+
+    cache[key] = ms
+    BASELINE_CACHE.write_text(json.dumps(cache, indent=1))
+    return ms
+
+
+def main():
+    positions, charges, cell, idx, dist, box = build_system(N_ATOMS)
+    smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
+    print(
+        f"# N={N_ATOMS} box={box:.1f}A pairs={idx.shape[0]} smearing={smearing:.3f} "
+        f"nodes={nodes} spacing={spacing:.3f} err_bound={err:.2e}",
+        file=sys.stderr,
+    )
+    ms, ns_mesh, energy = bench_ours(
+        positions, charges, cell, idx, dist, smearing, nodes, spacing
+    )
+    print(f"# mesh={ns_mesh} energy={energy:.4f} ours={ms:.2f} ms", file=sys.stderr)
+
+    baseline_ms = None
+    if os.environ.get("BENCH_SKIP_BASELINE") != "1":
+        baseline_ms = bench_reference_cpu(
+            positions, charges, cell, idx, dist, smearing, nodes, spacing
+        )
+        print(f"# torch-pme CPU baseline: {baseline_ms} ms", file=sys.stderr)
+
+    vs_baseline = (baseline_ms / ms) if baseline_ms else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"pme_energy_force_ms_per_step_{N_ATOMS}atoms_water_1e-4",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,18 @@
-"""Multi-chip sharding tier (pjit / shard_map over a device mesh).
+"""Multi-chip sharding tier (shard_map / XLA collectives over a device mesh).
 
-This is new TPU-native capability — the reference is single-device; see
-``SURVEY.md`` §5 for the design plan.
+New TPU-native capability — the reference is single-device; see SURVEY.md §5
+for the design plan and :mod:`torchpme_tpu.parallel.sharded` for the sharding
+layout.
 """
 
-__all__: list[str] = []
+from .sharded import (
+    pad_to_multiple,
+    sharded_ewald_potentials,
+    sharded_mesh_potentials,
+)
+
+__all__ = [
+    "pad_to_multiple",
+    "sharded_ewald_potentials",
+    "sharded_mesh_potentials",
+]
