@@ -90,17 +90,22 @@ def choose_parameters(charges, cell, positions):
 
 
 def bench_ours(positions, charges, cell, idx, dist, smearing, nodes, spacing):
+    """Jitted PME energy+force step on the TPU-native fast path:
+    dense-neighbor real space + tile-GEMM mesh backend."""
     import jax
     import jax.numpy as jnp
 
     import torchpme_tpu as tpme
+    from torchpme_tpu.utils.neighbors import dense_neighbor_format
 
     dtype = jnp.float32
+    dense = dense_neighbor_format(idx, dist, positions.shape[0])
     charges_j = jnp.asarray(charges, dtype=dtype)
     cell_j = jnp.asarray(cell, dtype=dtype)
     positions_j = jnp.asarray(positions, dtype=dtype)
-    idx_j = jnp.asarray(idx)
-    dist_j = jnp.asarray(dist, dtype=dtype)
+    nbr_j = jnp.asarray(dense["indices"])
+    dist_j = jnp.asarray(dense["distances"], dtype=dtype)
+    mask_j = jnp.asarray(dense["mask"])
 
     calc = tpme.PMECalculator(
         tpme.CoulombPotential(smearing=smearing),
@@ -109,19 +114,27 @@ def bench_ours(positions, charges, cell, idx, dist, smearing, nodes, spacing):
     )
     ns_mesh = calc.get_ns_mesh(cell_j)
 
-    def energy(positions):
-        pot = calc(charges_j, cell_j, positions, idx_j, dist_j, ns_mesh=ns_mesh)
+    def energy(positions, dist):
+        pot = calc(
+            charges_j, cell_j, positions, nbr_j, dist,
+            pair_mask=mask_j, ns_mesh=ns_mesh,
+        )
         return jnp.sum(pot * charges_j)
 
-    step = jax.jit(jax.value_and_grad(energy))
+    # forces w.r.t. positions (k-space path) and distances (real-space path):
+    # together the full force content of one MD step
+    step = jax.jit(jax.value_and_grad(energy, argnums=(0, 1)))
 
+    # under the axon tunnel, dispatch is async and block_until_ready can
+    # return early; chain steps and sync through a host transfer instead
+    out = step(positions_j, dist_j)
+    _ = float(out[0])
     times = []
-    for i in range(N_WARMUP + N_REPEAT):
+    for _i in range(N_REPEAT):
         start = time.monotonic()
-        out = step(positions_j)
-        jax.block_until_ready(out)
-        if i >= N_WARMUP:
-            times.append(time.monotonic() - start)
+        out = step(positions_j, dist_j)
+        _ = float(out[0])  # host sync
+        times.append(time.monotonic() - start)
     return float(np.median(times) * 1e3), ns_mesh, float(out[0])
 
 
@@ -137,7 +150,16 @@ def bench_reference_cpu(positions, charges, cell, idx, dist, smearing, nodes, sp
 
     sys.path.insert(0, "/root/reference/src")
     try:
+        import types
+
         import torch
+
+        # the reference imports a build-generated version module; shim it
+        if "torchpme._version" not in sys.modules:
+            vmod = types.ModuleType("torchpme._version")
+            vmod.__version__ = "0.5.0"
+            vmod.__version_tuple__ = (0, 5, 0)
+            sys.modules["torchpme._version"] = vmod
         import torchpme
 
         torch.set_num_threads(os.cpu_count() or 8)
@@ -171,7 +193,7 @@ def bench_reference_cpu(positions, charges, cell, idx, dist, smearing, nodes, sp
         ms = float(np.median(times) * 1e3)
     except Exception as err:  # reference unavailable: no baseline
         print(f"# baseline measurement failed: {err!r}", file=sys.stderr)
-        ms = None
+        return None
     finally:
         sys.path.remove("/root/reference/src")
 

@@ -49,6 +49,19 @@ class Calculator:
 
     # -- real space -----------------------------------------------------------
 
+    def _bare_pair_values(
+        self, neighbor_distances: Array, pair_mask: Array | None
+    ) -> Array:
+        """Pair terms v(r): full potential (direct mode, optionally windowed)
+        or the short-range part (the long range is summed in k-space)."""
+        if self.potential.smearing is None:
+            if self.potential.exclusion_radius is None:
+                return self.potential.from_dist(neighbor_distances, pair_mask)
+            return self.potential.from_dist(neighbor_distances, pair_mask) * (
+                1 - self.potential.f_cutoff(neighbor_distances, pair_mask)
+            )
+        return self.potential.sr_from_dist(neighbor_distances, pair_mask)
+
     def _compute_rspace(
         self,
         charges: Array,
@@ -56,23 +69,29 @@ class Calculator:
         neighbor_distances: Array,
         pair_mask: Array | None = None,
     ) -> Array:
-        """Neighbor-list pair sum, scattered onto atoms with segment adds."""
-        # bare pair terms v(r_ij); with smearing set, only the short-range part
-        # (the long range is summed in k-space by the subclass)
-        if self.potential.smearing is None:
-            if self.potential.exclusion_radius is None:
-                pair_values = self.potential.from_dist(neighbor_distances, pair_mask)
-            else:
-                pair_values = self.potential.from_dist(
-                    neighbor_distances, pair_mask
-                ) * (1 - self.potential.f_cutoff(neighbor_distances, pair_mask))
-        else:
-            pair_values = self.potential.sr_from_dist(neighbor_distances, pair_mask)
+        """Real-space neighbor sum.
+
+        Two input layouts are supported, dispatched on the distances' rank:
+
+        * **pair list** ``indices (P, 2)`` / ``distances (P,)`` — reference
+          layout; accumulation is a scatter-add (slow on XLA:TPU, fine on CPU);
+        * **dense per-atom** ``indices (N, C)`` / ``distances (N, C)`` (from
+          :func:`torchpme_tpu.utils.neighbors.dense_neighbor_format`) — the
+          TPU-native layout: a gather plus a dense reduction, no scatter.
+          Dense lists are always "full" (each atom lists all its neighbors);
+          ``pair_mask`` flags the padded slots.
+        """
+        pair_values = self._bare_pair_values(neighbor_distances, pair_mask)
+
+        if neighbor_distances.ndim == 2:
+            # dense layout: v (N, C), neighbor charges (N, C, channels)
+            neighbor_charges = charges[neighbor_indices]
+            return jnp.sum(neighbor_charges * pair_values[..., None], axis=1) / 2
 
         atom_is = neighbor_indices[:, 0]
         atom_js = neighbor_indices[:, 1]
 
-        # q_j · v(r_ij) accumulated on atom i (single fused scatter-add on TPU)
+        # q_j · v(r_ij) accumulated on atom i (single fused scatter-add)
         potential = jnp.zeros_like(charges)
         potential = potential.at[atom_is].add(
             charges[atom_js] * pair_values[:, None]

@@ -19,6 +19,12 @@ from jax import Array
 from ..ops.kspace import apply_kspace_filter, compute_kspace_filter
 from ..ops.kvectors import get_ns_mesh
 from ..ops.mesh import compute_interpolation, mesh_to_points, points_to_mesh
+from ..ops.mesh_tiled import (
+    compute_tiled_interpolation,
+    supports_tiling,
+    tiled_mesh_to_points,
+    tiled_points_to_mesh,
+)
 from ..potentials import Potential
 from ..potentials.potential import static_field
 from .calculator import Calculator
@@ -44,6 +50,12 @@ class PMECalculator(Calculator):
     interpolation_nodes: int = static_field(default=4)
 
     _method: str = static_field(default="Lagrange", kw_only=True)
+    #: "auto" picks the tile-GEMM path on accelerators (XLA scatter/gather is
+    #: pathologically slow on TPU) and the scatter path on CPU / tiny meshes;
+    #: "tiled" / "scatter" force a backend.
+    mesh_backend: str = static_field(default="auto", kw_only=True)
+    #: per-tile atom capacity override for the tiled backend (None = 8x mean)
+    tile_capacity: int | None = static_field(default=None, kw_only=True)
 
     def __post_init__(self):
         super().__post_init__()
@@ -93,14 +105,46 @@ class PMECalculator(Calculator):
             ns_mesh = self.get_ns_mesh(cell)
         ns_mesh = tuple(int(n) for n in ns_mesh)
 
-        interp = compute_interpolation(
-            positions,
-            jnp.linalg.inv(cell),
-            ns_mesh,
-            self.interpolation_nodes,
-            self._method,
-        )
-        rho_mesh = points_to_mesh(interp, charges)
+        if self.mesh_backend == "tiled":
+            use_tiled = True
+        elif self.mesh_backend == "scatter":
+            use_tiled = False
+        else:  # auto: tile-GEMM path on accelerators, scatter on CPU
+            import jax as _jax
+
+            use_tiled = supports_tiling(
+                ns_mesh, self.interpolation_nodes
+            ) and _jax.default_backend() not in ("cpu",)
+
+        if use_tiled:
+            interp = compute_tiled_interpolation(
+                positions,
+                jnp.linalg.inv(cell),
+                ns_mesh,
+                self.interpolation_nodes,
+                self._method,
+                capacity=self.tile_capacity,
+            )
+            # eager-mode safety net: tile overflow silently drops atoms under
+            # jit (see mesh_tiled docstring), so fail loudly when detectable
+            import jax.core as _core
+
+            if not isinstance(interp.dropped, _core.Tracer) and int(interp.dropped):
+                raise ValueError(
+                    f"{int(interp.dropped)} atoms exceeded the tile capacity "
+                    f"of the tiled mesh backend; pass a larger `tile_capacity` "
+                    "(e.g. for slab/vacuum systems) or mesh_backend='scatter'."
+                )
+            rho_mesh = tiled_points_to_mesh(interp, charges)
+        else:
+            interp = compute_interpolation(
+                positions,
+                jnp.linalg.inv(cell),
+                ns_mesh,
+                self.interpolation_nodes,
+                self._method,
+            )
+            rho_mesh = points_to_mesh(interp, charges)
 
         kfilter = self._kspace_filter(cell, ns_mesh)
         # backward/forward norm pair: no 1/n factor in either FFT direction
@@ -109,7 +153,10 @@ class PMECalculator(Calculator):
         )
 
         volume = jnp.abs(jnp.linalg.det(cell))
-        energy = mesh_to_points(interp, potential_mesh) / volume
+        if use_tiled:
+            energy = tiled_mesh_to_points(interp, potential_mesh) / volume
+        else:
+            energy = mesh_to_points(interp, potential_mesh) / volume
 
         # smearing-dependent self-interaction of each particle's screening density
         energy = energy - charges * self.potential.self_contribution()

@@ -64,12 +64,23 @@ def validate_parameters(
             f"`positions` class ({dtype})"
         )
 
-    if neighbor_indices.ndim != 2 or neighbor_indices.shape[1] != 2:
+    if neighbor_distances.ndim == 2:
+        # dense per-atom layout: indices/distances both (n_atoms, capacity)
+        if neighbor_indices.shape != neighbor_distances.shape or (
+            neighbor_indices.shape[0] != num_atoms
+        ):
+            raise ValueError(
+                "dense neighbor layout requires `neighbor_indices` and "
+                "`neighbor_distances` of identical shape [n_atoms, capacity], "
+                f"got {list(neighbor_indices.shape)} and "
+                f"{list(neighbor_distances.shape)} for {num_atoms} atoms"
+            )
+    elif neighbor_indices.ndim != 2 or neighbor_indices.shape[1] != 2:
         raise ValueError(
             "neighbor_indices is expected to have shape [num_neighbors, 2]"
             f", but got {list(neighbor_indices.shape)} for one structure"
         )
-    if neighbor_distances.shape != neighbor_indices[:, 0].shape:
+    elif neighbor_distances.shape != neighbor_indices[:, 0].shape:
         raise ValueError(
             "`neighbor_indices` and `neighbor_distances` need to have shapes "
             "[num_neighbors, 2] and [num_neighbors], but got "
@@ -88,11 +99,11 @@ def validate_parameters(
         )
 
     if pair_mask is not None:
-        if pair_mask.shape != neighbor_indices[:, 0].shape:
+        if pair_mask.shape != neighbor_distances.shape:
             raise ValueError(
-                "`pair_mask` must have the same shape as the number of neighbors, "
-                f"got tensor with shape {list(pair_mask.shape)} while the number "
-                f"of neighbors is {neighbor_indices.shape[0]}"
+                "`pair_mask` must have the same shape as `neighbor_distances`, "
+                f"got tensor with shape {list(pair_mask.shape)} vs "
+                f"{list(neighbor_distances.shape)}"
             )
         if pair_mask.dtype != jnp.bool_:
             raise TypeError(f"type of `pair_mask` ({pair_mask.dtype}) must be bool")
