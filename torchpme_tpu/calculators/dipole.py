@@ -107,9 +107,9 @@ class CalculatorDipole:
         knorm_sq = jnp.sum(kvectors**2, axis=-1)
         g_kernel = self.potential.lr_from_k_sq(knorm_sq)
 
-        trig_args = kvectors @ positions.T  # (n_k, N)
+        trig_args = jnp.matmul(kvectors, positions.T, precision="highest")  # (n_k, N)
         trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])  # (2, n_k, N)
-        mu_k = dipoles @ kvectors.T  # (N, n_k)
+        mu_k = jnp.matmul(dipoles, kvectors.T, precision="highest")  # (N, n_k)
         weighted = jnp.einsum(
             "fki,ik,k->fk", trig, mu_k, g_kernel, precision="highest"
         )

@@ -100,7 +100,7 @@ class EwaldCalculator(Calculator):
 
         # structure-factor trick (Poisson summation): cos/sin factors give the
         # O(n_k · N) evaluation instead of O(n_k · N²)
-        trig_args = kvectors @ positions.T  # (n_k, N)
+        trig_args = jnp.matmul(kvectors, positions.T, precision="highest")  # (n_k, N)
         trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])  # (2, n_k, N)
         weighted = jnp.einsum(
             "fki,ic,k->fkc", trig, charges, g_kernel, precision="highest"

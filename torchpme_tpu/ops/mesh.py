@@ -151,7 +151,7 @@ def compute_1d_weights(x: Array, nodes: int, method: str) -> Array:
     coeffs = jnp.asarray(_weight_coefficients(method, nodes), dtype=x.dtype)
     # power basis [1, x, x², ...]: (nodes, *x.shape)
     powers = jnp.stack([x**m for m in range(nodes)])
-    return jnp.tensordot(coeffs, powers, axes=1)
+    return jnp.tensordot(coeffs, powers, axes=1, precision="highest")
 
 
 from dataclasses import field as _field  # noqa: E402
@@ -195,7 +195,11 @@ def compute_interpolation(
     ns = tuple(int(n) for n in ns)
     nodes = int(interpolation_nodes)
     ns_arr = jnp.asarray(ns, dtype=positions.dtype)
-    rel = (positions @ inverse_cell) * ns_arr  # fractional coords × mesh size
+    # fractional coords × mesh size; HIGHEST precision: bf16 coordinate
+    # products would shift stencil offsets at TPU default matmul precision
+    rel = (
+        jnp.matmul(positions, inverse_cell, precision="highest") * ns_arr
+    )
 
     if nodes % 2 == 0:
         base_idx = jnp.floor(rel).astype(jnp.int32)
@@ -272,7 +276,7 @@ def mesh_xyz(cell: Array, ns: tuple[int, int, int]) -> Array:
     """Cartesian coordinates of the mesh points, shape ``(nx, ny, nz, 3)``."""
     fracs = [jnp.arange(n, dtype=cell.dtype) / n for n in ns]
     grid = jnp.stack(jnp.meshgrid(*fracs, indexing="ij"), axis=-1)
-    return grid @ cell
+    return jnp.matmul(grid, cell, precision="highest")
 
 
 class MeshInterpolator:

@@ -111,7 +111,10 @@ def compute_tiled_interpolation(
         capacity = int(min(n_atoms, -(-(2 * mean + 32) // 64) * 64))
 
     ns_arr = jnp.asarray(ns, dtype=positions.dtype)
-    rel = (positions @ inverse_cell) * ns_arr
+    rel = (
+        jnp.matmul(positions, inverse_cell, precision=jax.lax.Precision.HIGHEST)
+        * ns_arr
+    )
     if nodes % 2 == 0:
         base = jnp.floor(rel).astype(jnp.int32)
         offsets = rel - (base + 0.5)
@@ -299,10 +302,13 @@ def tiled_points_to_mesh(interp: TiledInterpolation, particle_weights: Array) ->
     wxy, wz = _dense_weight_factors(interp)
     # (T, K, nz, C) charge-carrying z factors → one batched GEMM over K
     qz = wz[..., None] * b_q[:, :, None, :]
+    # HIGHEST precision: default TPU matmul precision is bf16 inputs, which
+    # costs ~3e-3 relative accuracy — far above the 1e-4 force target
     rho_tiles = lax.dot_general(
         wxy.reshape(n_tiles, capacity, extent * extent),
         qz.reshape(n_tiles, capacity, nz * n_ch),
         (((1,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
         preferred_element_type=particle_weights.dtype,
     ).reshape(n_tiles, extent, extent, nz, n_ch)
     return _fold_tiles_to_mesh(rho_tiles, interp.ns, interp.nodes)
@@ -323,6 +329,7 @@ def tiled_mesh_to_points(interp: TiledInterpolation, mesh_vals: Array) -> Array:
         wxy.reshape(n_tiles, capacity, extent * extent),
         tiles.reshape(n_tiles, extent * extent, nz * n_ch),
         (((2,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
         preferred_element_type=mesh_vals.dtype,
     ).reshape(n_tiles, capacity, nz, n_ch)
     # contract z with the stencil weights

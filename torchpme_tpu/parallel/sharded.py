@@ -100,10 +100,12 @@ def sharded_ewald_potentials(
         # k-space partial over the local k-shard
         knorm_sq = jnp.sum(kvecs**2, axis=-1)
         g_kernel = calc.potential.lr_from_k_sq(knorm_sq)
-        trig_args = kvecs @ positions.T
+        trig_args = jnp.matmul(kvecs, positions.T, precision="highest")
         trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])
-        weighted = jnp.einsum("fki,ic,k->fkc", trig, charges, g_kernel)
-        energy = jnp.einsum("fkc,fki->ic", weighted, trig)
+        weighted = jnp.einsum(
+            "fki,ic,k->fkc", trig, charges, g_kernel, precision="highest"
+        )
+        energy = jnp.einsum("fkc,fki->ic", weighted, trig, precision="highest")
         energy = lax.psum(energy, axis)
 
         volume = jnp.abs(jnp.linalg.det(cell))

@@ -80,7 +80,9 @@ class CombinedPotential(Potential):
 
     def _combine(self, values: list[Array]) -> Array:
         stacked = jnp.stack(values, axis=-1)
-        return stacked @ self.weights.astype(stacked.dtype)
+        return jnp.matmul(
+            stacked, self.weights.astype(stacked.dtype), precision="highest"
+        )
 
     def from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
         return self._combine([p.from_dist(dist, pair_mask) for p in self.potentials])

@@ -175,7 +175,9 @@ def compute_distances(
     atom_js = neighbor_indices[:, 1]
     vectors = positions[atom_js] - positions[atom_is]
     if cell is not None and neighbor_shifts is not None:
-        vectors = vectors + neighbor_shifts.astype(cell.dtype) @ cell
+        vectors = vectors + jnp.matmul(
+            neighbor_shifts.astype(cell.dtype), cell, precision="highest"
+        )
     elif cell is not None:
         raise ValueError("Provided `cell` but no `neighbor_shifts`.")
     elif neighbor_shifts is not None:
@@ -256,7 +258,9 @@ def compute_distances_dense(positions, neighbor_indices, cell=None, neighbor_shi
 
     vectors = positions[neighbor_indices] - positions[:, None, :]
     if cell is not None and neighbor_shifts is not None:
-        vectors = vectors + neighbor_shifts.astype(cell.dtype) @ cell
+        vectors = vectors + jnp.matmul(
+            neighbor_shifts.astype(cell.dtype), cell, precision="highest"
+        )
     elif cell is not None:
         raise ValueError("Provided `cell` but no `neighbor_shifts`.")
     elif neighbor_shifts is not None:
