@@ -108,7 +108,7 @@ def compute_tiled_interpolation(
         # (overflowing atoms are counted in `.dropped`). Rounded up for MXU
         # contraction efficiency (capacity is the GEMM reduction dim).
         mean = -(-n_atoms // n_tiles)
-        capacity = int(min(n_atoms, -(-(2 * mean + 32) // 64) * 64))
+        capacity = int(-(-min(n_atoms, 2 * mean + 32) // 64) * 64)
 
     ns_arr = jnp.asarray(ns, dtype=positions.dtype)
     rel = (
@@ -131,20 +131,19 @@ def compute_tiled_interpolation(
     tile_y = start[:, 1] // TILE
     tile_id = tile_x * ty_count + tile_y
 
-    # bucket by tile: one sort of N keys, then rank-within-tile
+    # bucket by tile: one sort of N keys, then rank-within-tile.  (A sort-free
+    # cumsum-over-onehot rank was tried and measured ~10 ms slower end-to-end
+    # on the v5e at 100k atoms; the sort stays.)
     order = jnp.argsort(tile_id)
     tid_sorted = tile_id[order]
     tile_starts = jnp.searchsorted(tid_sorted, jnp.arange(n_tiles))
     rank = jnp.arange(n_atoms) - tile_starts[tid_sorted]
     valid = rank < capacity
     dropped = jnp.sum(~valid).astype(jnp.int32)
-
     # flat slot per *sorted* atom; dropped atoms land in a trash slot
     slot_sorted = jnp.where(valid, tid_sorted * capacity + rank, n_tiles * capacity)
     slot_of_atom = (
-        jnp.zeros((n_atoms,), jnp.int32)
-        .at[order]
-        .set(slot_sorted.astype(jnp.int32))
+        jnp.zeros((n_atoms,), jnp.int32).at[order].set(slot_sorted.astype(jnp.int32))
     )
 
     # bucket tables (+1 trash row), filled by a unique-index scatter of N rows
@@ -282,11 +281,30 @@ def _dense_weight_factors(interp: TiledInterpolation):
     return wxy, wz
 
 
-def tiled_points_to_mesh(interp: TiledInterpolation, particle_weights: Array) -> Array:
+def _use_pallas(interp: TiledInterpolation, n_channels: int, dtype, impl: str) -> bool:
+    if impl == "xla":
+        return False
+    from .pallas.mesh_pallas import supports_pallas
+
+    ok = supports_pallas(interp, n_channels, dtype)
+    if impl == "pallas" and not ok:
+        raise ValueError(
+            "Pallas mesh kernels require a single f32 channel and a z extent "
+            "that is a multiple of 128"
+        )
+    return ok
+
+
+def tiled_points_to_mesh(
+    interp: TiledInterpolation, particle_weights: Array, impl: str = "auto"
+) -> Array:
     """Spread particle weights onto the mesh via batched tile GEMMs.
 
     Numerically identical to :func:`torchpme_tpu.ops.mesh.points_to_mesh`
     (same stencils, different summation order).
+
+    :param impl: ``"auto"`` (fused Pallas kernels when eligible: single f32
+        channel, lane-aligned z), ``"pallas"``, or ``"xla"``.
     """
     nz = interp.ns[2]
     n_tiles, capacity = interp.local_x.shape
@@ -298,6 +316,14 @@ def tiled_points_to_mesh(interp: TiledInterpolation, particle_weights: Array) ->
         (n_tiles * capacity + 1, n_ch), particle_weights.dtype
     ).at[interp.slot_of_atom].set(particle_weights)
     b_q = flat_q[:-1].reshape(n_tiles, capacity, n_ch)
+
+    if _use_pallas(interp, n_ch, particle_weights.dtype, impl):
+        from .pallas.mesh_pallas import spread_tiles
+
+        tiles = spread_tiles(interp, b_q[:, :, 0])
+        return _fold_tiles_to_mesh(
+            tiles.reshape(n_tiles, extent, extent, nz, 1), interp.ns, interp.nodes
+        )
 
     wxy, wz = _dense_weight_factors(interp)
     # (T, K, nz, C) charge-carrying z factors → one batched GEMM over K
@@ -314,15 +340,32 @@ def tiled_points_to_mesh(interp: TiledInterpolation, particle_weights: Array) ->
     return _fold_tiles_to_mesh(rho_tiles, interp.ns, interp.nodes)
 
 
-def tiled_mesh_to_points(interp: TiledInterpolation, mesh_vals: Array) -> Array:
+def tiled_mesh_to_points(
+    interp: TiledInterpolation, mesh_vals: Array, impl: str = "auto"
+) -> Array:
     """Back-interpolate a mesh field at the particle positions (transpose of
-    :func:`tiled_points_to_mesh`, also two batched GEMMs)."""
+    :func:`tiled_points_to_mesh`, also two batched GEMMs).
+
+    :param impl: ``"auto"`` / ``"pallas"`` / ``"xla"`` (see
+        :func:`tiled_points_to_mesh`).
+    """
     nz = interp.ns[2]
     n_tiles, capacity = interp.local_x.shape
     extent = TILE + interp.nodes - 1
     n_ch = mesh_vals.shape[0]
 
     tiles = _extract_tiles_from_mesh(mesh_vals, interp.ns, interp.nodes)
+
+    if _use_pallas(interp, n_ch, mesh_vals.dtype, impl):
+        from .pallas.mesh_pallas import gather_tiles
+
+        per_slot = gather_tiles(
+            interp, tiles.reshape(n_tiles, extent * extent, nz)
+        ).reshape(n_tiles * capacity, 1)
+        per_slot = jnp.concatenate(
+            [per_slot, jnp.zeros((1, 1), per_slot.dtype)], axis=0
+        )
+        return per_slot[interp.slot_of_atom]
     wxy, wz = _dense_weight_factors(interp)
     # contract xy: (T, K, XY) @ (T, XY, nz·C) → (T, K, nz·C)
     partial = lax.dot_general(
