@@ -114,10 +114,18 @@ def bench_ours(positions, charges, cell, idx, dist, smearing, nodes, spacing):
     )
     ns_mesh = calc.get_ns_mesh(cell_j)
 
+    # tile bucketing reused across steps like the neighbor list (refreshed
+    # from the positions inside the step; see refresh_tiled_interpolation)
+    from torchpme_tpu.ops.mesh_tiled import compute_tiled_interpolation
+
+    tiled_interp = compute_tiled_interpolation(
+        positions_j, jnp.linalg.inv(cell_j), ns_mesh, nodes, "Lagrange"
+    )
+
     def energy(positions, dist):
         pot = calc(
             charges_j, cell_j, positions, nbr_j, dist,
-            pair_mask=mask_j, ns_mesh=ns_mesh,
+            pair_mask=mask_j, ns_mesh=ns_mesh, tiled_interp=tiled_interp,
         )
         return jnp.sum(pot * charges_j)
 

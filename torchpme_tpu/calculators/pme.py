@@ -20,7 +20,9 @@ from ..ops.kspace import apply_kspace_filter, compute_kspace_filter
 from ..ops.kvectors import get_ns_mesh
 from ..ops.mesh import compute_interpolation, mesh_to_points, points_to_mesh
 from ..ops.mesh_tiled import (
+    TiledInterpolation,
     compute_tiled_interpolation,
+    refresh_tiled_interpolation,
     supports_tiling,
     tiled_mesh_to_points,
     tiled_points_to_mesh,
@@ -93,12 +95,15 @@ class PMECalculator(Calculator):
         kvectors: Array | None = None,
         node_mask: Array | None = None,
         ns_mesh: tuple[int, int, int] | None = None,
+        tiled_interp: TiledInterpolation | None = None,
     ) -> Array:
         if kvectors is not None:
             raise NotImplementedError(
                 "Mesh calculators build their own k-grid; precomputed `kvectors` "
                 "are only supported by the Ewald calculator"
             )
+        if tiled_interp is not None and ns_mesh is None:
+            ns_mesh = tiled_interp.ns
         if ns_mesh is None:
             # mesh shape must be static: computed eagerly from a concrete cell
             # (raises with guidance when `cell` is traced)
@@ -117,14 +122,23 @@ class PMECalculator(Calculator):
             ) and _jax.default_backend() not in ("cpu",)
 
         if use_tiled:
-            interp = compute_tiled_interpolation(
-                positions,
-                jnp.linalg.inv(cell),
-                ns_mesh,
-                self.interpolation_nodes,
-                self._method,
-                capacity=self.tile_capacity,
-            )
+            if tiled_interp is not None:
+                # bucket reuse (MD fast path): refresh only the per-slot
+                # geometry from the current positions — differentiable, and
+                # ~15 ms/step cheaper than rebucketing at 100k atoms.  The
+                # caller owns drift checking (see refresh_tiled_interpolation).
+                interp, _ = refresh_tiled_interpolation(
+                    tiled_interp, positions, jnp.linalg.inv(cell), self._method
+                )
+            else:
+                interp = compute_tiled_interpolation(
+                    positions,
+                    jnp.linalg.inv(cell),
+                    ns_mesh,
+                    self.interpolation_nodes,
+                    self._method,
+                    capacity=self.tile_capacity,
+                )
             # eager-mode safety net: tile overflow silently drops atoms under
             # jit (see mesh_tiled docstring), so fail loudly when detectable
             import jax.core as _core
@@ -187,10 +201,14 @@ class PMECalculator(Calculator):
         pair_mask: Array | None = None,
         kvectors: Array | None = None,
         ns_mesh: tuple[int, int, int] | None = None,
+        tiled_interp: TiledInterpolation | None = None,
     ) -> Array:
-        """Same contract as :meth:`Calculator.__call__`, plus ``ns_mesh``:
-        a static mesh shape enabling jit/grad-through-cell (compute it once
-        eagerly with :meth:`get_ns_mesh`)."""
+        """Same contract as :meth:`Calculator.__call__`, plus ``ns_mesh``
+        (a static mesh shape enabling jit/grad-through-cell; compute it once
+        eagerly with :meth:`get_ns_mesh`) and ``tiled_interp`` (a reusable
+        tile bucketing from :func:`compute_tiled_interpolation` — the MD fast
+        path; weights are refreshed from the current positions inside the
+        call, so gradients stay exact)."""
         from ..utils.validation import validate_parameters
 
         validate_parameters(
@@ -218,6 +236,7 @@ class PMECalculator(Calculator):
             kvectors=kvectors,
             node_mask=node_mask,
             ns_mesh=ns_mesh,
+            tiled_interp=tiled_interp,
         )
         return potential_sr + potential_lr
 

@@ -41,6 +41,7 @@ from jax import Array, lax
 from .mesh import compute_1d_weights
 
 __all__ = [
+    "refresh_tiled_interpolation",
     "TiledInterpolation",
     "supports_tiling",
     "compute_tiled_interpolation",
@@ -78,6 +79,7 @@ class TiledInterpolation:
     weights: Array  # (T, K, 3, n) per-axis 1D stencil weights (0 for empty slots)
     slot_of_atom: Array  # (N,) int32 flat bucket slot per atom (K*T for dropped)
     dropped: Array  # () int32, number of atoms beyond tile capacity
+    atom_of_slot: Array | None = None  # (T, K) int32, N for empty slots
     ns: tuple[int, int, int] = field(metadata=dict(static=True), default=(1, 1, 1))
     nodes: int = field(metadata=dict(static=True), default=4)
 
@@ -158,6 +160,7 @@ def compute_tiled_interpolation(
     b_local_x = bucketize((start[:, 0] - tile_x * TILE).astype(jnp.int32))
     b_local_y = bucketize((start[:, 1] - tile_y * TILE).astype(jnp.int32))
     b_start_z = bucketize(start[:, 2].astype(jnp.int32))
+    b_atom = bucketize(jnp.arange(n_atoms, dtype=jnp.int32), fill=n_atoms)
 
     return TiledInterpolation(
         local_x=b_local_x,
@@ -166,6 +169,7 @@ def compute_tiled_interpolation(
         weights=b_weights,
         slot_of_atom=slot_of_atom,
         dropped=dropped,
+        atom_of_slot=b_atom,
         ns=ns,
         nodes=nodes,
     )
@@ -383,3 +387,97 @@ def tiled_mesh_to_points(
         [per_slot, jnp.zeros((1, n_ch), per_slot.dtype)], axis=0
     )
     return per_slot[interp.slot_of_atom]
+
+
+def refresh_tiled_interpolation(
+    interp: TiledInterpolation,
+    positions: Array,
+    inverse_cell: Array,
+    method: str,
+) -> tuple[TiledInterpolation, Array]:
+    """Recompute stencil weights for updated positions, reusing the buckets.
+
+    The tile assignment (the sort + scatter bookkeeping, ~15 ms/step at 100k
+    atoms on a v5e) is treated like a neighbor list: valid while atoms have
+    not drifted out of their tile's stencil window.  This function updates
+    only the per-slot geometry — one gather of the bucketed positions plus
+    dense math — and returns ``(new_interp, still_valid)`` where
+    ``still_valid`` is False once any atom's stencil has left its assigned
+    tile window (then call :func:`compute_tiled_interpolation` to rebucket,
+    exactly like refreshing a neighbor list).
+
+    :param interp: a bucketing produced by :func:`compute_tiled_interpolation`.
+    :param positions: updated ``(N, 3)`` coordinates.
+    :param inverse_cell: inverse of the (possibly updated) cell.
+    :param method: the interpolation method the bucketing was built for.
+    """
+    if interp.atom_of_slot is None:
+        raise ValueError(
+            "This TiledInterpolation does not carry bucket->atom indices; "
+            "build it with compute_tiled_interpolation first."
+        )
+    ns = interp.ns
+    nodes = interp.nodes
+    nx, ny, nz = ns
+    n_tiles, capacity = interp.local_x.shape
+    ty_count = ny // TILE
+    n_atoms = positions.shape[0]
+
+    # gather bucketed positions (sentinel row keeps empty slots harmless)
+    padded_pos = jnp.concatenate(
+        [positions, jnp.zeros((1, 3), positions.dtype)], axis=0
+    )
+    pos_slots = padded_pos[interp.atom_of_slot]  # (T, K, 3)
+
+    ns_arr = jnp.asarray(ns, dtype=positions.dtype)
+    rel = (
+        jnp.einsum(
+            "tka,ab->tkb", pos_slots, inverse_cell, precision="highest"
+        )
+        * ns_arr
+    )
+    if nodes % 2 == 0:
+        base = jnp.floor(rel).astype(jnp.int32)
+        offsets = rel - (base + 0.5)
+    else:
+        base = jnp.round(rel).astype(jnp.int32)
+        offsets = rel - base
+    weights = jnp.moveaxis(
+        compute_1d_weights(offsets, nodes, method), 0, -1
+    )  # (T, K, 3, n)
+
+    shift0 = 1 - (nodes + 1) // 2
+    start = (base + shift0) % jnp.asarray(ns, dtype=jnp.int32)  # (T, K, 3)
+
+    # tile origins from the static tile index
+    tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    origin_x = (tile_idx // ty_count * TILE)[:, None]
+    origin_y = (tile_idx % ty_count * TILE)[:, None]
+    local_x = (start[:, :, 0] - origin_x + nx) % nx
+    local_y = (start[:, :, 1] - origin_y + ny) % ny
+
+    empty = interp.atom_of_slot == n_atoms
+    # zero the weights of empty slots so they contribute nothing
+    weights = jnp.where(empty[..., None, None], 0.0, weights)
+    local_x = jnp.where(empty, 0, local_x)
+    local_y = jnp.where(empty, 0, local_y)
+    start_z = jnp.where(empty, 0, start[:, :, 2])
+
+    # validity: every occupied slot's stencil start must still lie inside its
+    # tile (the local window has room for TILE-1 + nodes-1 < 2*TILE cells)
+    still_valid = jnp.all(
+        (empty | ((local_x < TILE) & (local_y < TILE)))
+    ) & (interp.dropped == 0)
+
+    refreshed = TiledInterpolation(
+        local_x=local_x.astype(jnp.int32),
+        local_y=local_y.astype(jnp.int32),
+        start_z=start_z.astype(jnp.int32),
+        weights=weights,
+        slot_of_atom=interp.slot_of_atom,
+        dropped=interp.dropped,
+        atom_of_slot=interp.atom_of_slot,
+        ns=ns,
+        nodes=nodes,
+    )
+    return refreshed, still_valid
