@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..ops.kspace import apply_kspace_filter, compute_kspace_filter
+from ..ops.kspace import (
+    apply_kspace_filter,
+    apply_kspace_filter_dft,
+    compute_kspace_filter,
+)
 from ..ops.kvectors import get_ns_mesh
 from ..ops.mesh import compute_interpolation, mesh_to_points, points_to_mesh
 from ..ops.mesh_tiled import (
@@ -58,6 +62,9 @@ class PMECalculator(Calculator):
     mesh_backend: str = static_field(default="auto", kw_only=True)
     #: per-tile atom capacity override for the tiled backend (None = 8x mean)
     tile_capacity: int | None = static_field(default=None, kw_only=True)
+    #: "auto" uses DFT-by-matmul on accelerators for meshes ≤ 256³ (XLA's
+    #: 3D rFFT has a ~10 ms latency floor on TPU); "fft" / "dft" force one.
+    fft_backend: str = static_field(default="auto", kw_only=True)
 
     def __post_init__(self):
         super().__post_init__()
@@ -161,10 +168,23 @@ class PMECalculator(Calculator):
             rho_mesh = points_to_mesh(interp, charges)
 
         kfilter = self._kspace_filter(cell, ns_mesh)
-        # backward/forward norm pair: no 1/n factor in either FFT direction
-        potential_mesh = apply_kspace_filter(
-            rho_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
-        )
+        if self.fft_backend == "dft":
+            use_dft = True
+        elif self.fft_backend == "fft":
+            use_dft = False
+        else:
+            import jax as _jax
+
+            use_dft = (
+                max(ns_mesh) <= 256 and _jax.default_backend() not in ("cpu",)
+            )
+        if use_dft:
+            potential_mesh = apply_kspace_filter_dft(rho_mesh, kfilter)
+        else:
+            # backward/forward norm pair: no 1/n factor either direction
+            potential_mesh = apply_kspace_filter(
+                rho_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
+            )
 
         volume = jnp.abs(jnp.linalg.det(cell))
         if use_tiled:

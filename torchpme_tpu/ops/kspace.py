@@ -16,6 +16,7 @@ from .kvectors import generate_kvectors_for_mesh
 
 __all__ = [
     "apply_kspace_filter",
+    "apply_kspace_filter_dft",
     "compute_kspace_filter",
     "p3m_influence_function",
     "KSpaceKernel",
@@ -248,3 +249,93 @@ class P3MKSpaceFilter(KSpaceFilter):
         self._kfilter = influence * compute_kspace_filter(
             self.kernel.kernel_from_k_sq, self.cell, self.ns_mesh
         )
+
+
+def _dft_matrices(n: int, dtype, inverse: bool = False):
+    """Real/imag DFT matrices for one axis (half-spectrum when ``inverse``)."""
+    import numpy as _np
+
+    k = _np.arange(n)
+    kr = _np.arange(n // 2 + 1)
+    if not inverse:
+        ang = -2 * _np.pi * _np.outer(k, kr) / n
+        return (
+            jnp.asarray(_np.cos(ang), dtype),
+            jnp.asarray(_np.sin(ang), dtype),
+        )
+    # inverse half-spectrum → real: fold the Hermitian half with weights
+    w = _np.full(n // 2 + 1, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    ang = 2 * _np.pi * _np.outer(kr, k) / n
+    return (
+        jnp.asarray(w[:, None] * _np.cos(ang), dtype),
+        jnp.asarray(w[:, None] * _np.sin(ang), dtype),
+    )
+
+
+def _full_dft_matrices(n: int, dtype, sign: int):
+    import numpy as _np
+
+    k = _np.arange(n)
+    ang = sign * 2 * _np.pi * _np.outer(k, k) / n
+    return jnp.asarray(_np.cos(ang), dtype), jnp.asarray(_np.sin(ang), dtype)
+
+
+def apply_kspace_filter_dft(mesh_values: Array, kfilter: Array) -> Array:
+    r"""K-space filter via per-axis DFT **matmuls** instead of FFT.
+
+    On TPU, XLA's 3D rFFT has a ~10 ms latency floor regardless of size up to
+    256³ (measured on a v5e), while per-axis DFT matrices ride the MXU.  Uses
+    the same un-normalized forward/backward convention as
+    :func:`apply_kspace_filter` with the ``backward``/``forward`` norm pair
+    used by the mesh calculators.  O(n⁴) per axis — prefer the FFT beyond
+    ~256³ meshes.
+    """
+    dtype = mesh_values.dtype
+    nx, ny, nz = mesh_values.shape[-3:]
+    P = "highest"
+    crz, srz = _dft_matrices(nz, dtype)
+    cfy, sfy = _full_dft_matrices(ny, dtype, -1)
+    cfx, sfx = _full_dft_matrices(nx, dtype, -1)
+
+    # forward: real input → half-spectrum along z, full complex along y, x
+    re = jnp.einsum("cxyz,zk->cxyk", mesh_values, crz, precision=P)
+    im = jnp.einsum("cxyz,zk->cxyk", mesh_values, srz, precision=P)
+    re, im = (
+        jnp.einsum("cxyk,yw->cxwk", re, cfy, precision=P)
+        - jnp.einsum("cxyk,yw->cxwk", im, sfy, precision=P),
+        jnp.einsum("cxyk,yw->cxwk", re, sfy, precision=P)
+        + jnp.einsum("cxyk,yw->cxwk", im, cfy, precision=P),
+    )
+    re, im = (
+        jnp.einsum("cxwk,xu->cuwk", re, cfx, precision=P)
+        - jnp.einsum("cxwk,xu->cuwk", im, sfx, precision=P),
+        jnp.einsum("cxwk,xu->cuwk", re, sfx, precision=P)
+        + jnp.einsum("cxwk,xu->cuwk", im, cfx, precision=P),
+    )
+
+    re = re * kfilter
+    im = im * kfilter
+
+    # inverse (un-normalized): conjugate full transforms along x, y; Hermitian
+    # fold along z back to a real field
+    ciy, siy = _full_dft_matrices(ny, dtype, +1)
+    cix, six = _full_dft_matrices(nx, dtype, +1)
+    crzi, srzi = _dft_matrices(nz, dtype, inverse=True)
+    re, im = (
+        jnp.einsum("cuwk,ux->cxwk", re, cix, precision=P)
+        - jnp.einsum("cuwk,ux->cxwk", im, six, precision=P),
+        jnp.einsum("cuwk,ux->cxwk", re, six, precision=P)
+        + jnp.einsum("cuwk,ux->cxwk", im, cix, precision=P),
+    )
+    re, im = (
+        jnp.einsum("cxwk,wy->cxyk", re, ciy, precision=P)
+        - jnp.einsum("cxwk,wy->cxyk", im, siy, precision=P),
+        jnp.einsum("cxwk,wy->cxyk", re, siy, precision=P)
+        + jnp.einsum("cxwk,wy->cxyk", im, ciy, precision=P),
+    )
+    return jnp.einsum("cxyk,kz->cxyz", re, crzi, precision=P) - jnp.einsum(
+        "cxyk,kz->cxyz", im, srzi, precision=P
+    )
