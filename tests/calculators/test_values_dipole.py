@@ -109,3 +109,34 @@ def test_epsilon_surface_term():
     np.testing.assert_allclose(
         np.asarray(pot1 - pot0), np.broadcast_to(expected_shift, (3, 3)), rtol=1e-10
     )
+
+
+def test_dipole_dense_neighbors_match_pairlist():
+    """Dense (N, C, 3) vector layout ≡ pair list (TPU-native extension)."""
+    import numpy as np
+
+    calc = CalculatorDipole(PotentialDipole(smearing=0.8), lr_wavelength=0.5)
+    dipoles, cell, positions, indices, vectors = parallel_dipoles()
+    ref = calc(dipoles, cell, positions, indices, vectors)
+
+    # build the dense full layout by mirroring the half list
+    n, cap = 3, 4
+    nbr = np.zeros((n, cap), np.int32)
+    vecs = np.zeros((n, cap, 3))
+    mask = np.zeros((n, cap), bool)
+    count = np.zeros(n, np.int32)
+    for (i, j), v in zip(np.asarray(indices), np.asarray(vectors)):
+        for a, b, vv in [(i, j, v), (j, i, -v)]:
+            nbr[a, count[a]] = b
+            vecs[a, count[a]] = vv
+            mask[a, count[a]] = True
+            count[a] += 1
+    out = calc(
+        dipoles,
+        cell,
+        positions,
+        jnp.asarray(nbr),
+        jnp.asarray(vecs),
+        pair_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)

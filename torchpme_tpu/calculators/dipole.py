@@ -58,7 +58,32 @@ class CalculatorDipole:
         dipoles: Array,
         neighbor_indices: Array,
         neighbor_vectors: Array,
+        pair_mask: Array | None = None,
     ) -> Array:
+        if neighbor_vectors.ndim == 3:
+            # dense per-atom layout (N, C, 3): gather + dense reduction — the
+            # TPU-native path (see Calculator._compute_rspace); padded slots
+            # get a unit vector so the 1/r^k kernels stay finite, then masked
+            n_atoms, cap = neighbor_vectors.shape[:2]
+            if pair_mask is None:
+                pair_mask = jnp.ones((n_atoms, cap), bool)
+            unit = jnp.zeros_like(neighbor_vectors).at[..., 0].set(1.0)
+            safe = jnp.where(pair_mask[..., None], neighbor_vectors, unit)
+            flat = safe.reshape(-1, 3)
+            if self.potential.smearing is None:
+                kernels = self.potential.from_dist(flat)
+            else:
+                kernels = self.potential.sr_from_dist(flat)
+            kernels = kernels.reshape(n_atoms, cap, 3, 3)
+            kernels = kernels * pair_mask[..., None, None]
+            contrib = jnp.einsum(
+                "ncab,ncb->na",
+                kernels,
+                dipoles[neighbor_indices],
+                precision="highest",
+            )
+            return contrib / 2
+
         if self.potential.smearing is None:
             pair_kernels = self.potential.from_dist(neighbor_vectors)  # (P, 3, 3)
         else:
@@ -133,6 +158,7 @@ class CalculatorDipole:
         neighbor_vectors: Array,
         kvectors: Array | None = None,
         ns_kvectors: tuple[int, int, int] | None = None,
+        pair_mask: Array | None = None,
     ) -> Array:
         r"""Compute the per-atom dipolar potential.
 
@@ -156,6 +182,7 @@ class CalculatorDipole:
             dipoles=dipoles,
             neighbor_indices=neighbor_indices,
             neighbor_vectors=neighbor_vectors,
+            pair_mask=pair_mask,
         )
         if self.potential.smearing is None:
             return potential_sr

@@ -31,7 +31,7 @@ from ..ops.mesh_tiled import (
     tiled_mesh_to_points,
     tiled_points_to_mesh,
 )
-from ..potentials import Potential
+
 from ..potentials.potential import static_field
 from .calculator import Calculator
 

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .._version import __version__  # noqa: F401
 from ..potentials import InversePowerLawPotential
 from ..utils.validation import validate_parameters
 
@@ -193,7 +192,9 @@ class TuningTimings:
         for i in range(self.n_warmup + self.n_repeat):
             start = time.monotonic()
             out = step(self.positions, self.charges, self.cell)
-            jax.block_until_ready(out)
+            # sync through a host transfer: under async/tunneled dispatch,
+            # block_until_ready alone can return before execution finishes
+            _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
             if i >= self.n_warmup:
                 elapsed += time.monotonic() - start
         return elapsed / self.n_repeat
