@@ -8,9 +8,9 @@ hardware.  Numerical oracles (Madelung constants, analytic FTs) need float64.
 import os
 
 # Select the CPU backend *before* any JAX backend is initialized.  The axon
-# sitecustomize forces JAX_PLATFORMS=axon at interpreter start; backends are
-# created lazily, so overriding here (at conftest import, before any jnp op)
-# wins.
+# sitecustomize imports jax at interpreter start with JAX_PLATFORMS=axon, so
+# the env var is already frozen into jax.config — override through the config
+# API (backends are created lazily, so this wins as long as no jnp op ran).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -20,4 +20,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
