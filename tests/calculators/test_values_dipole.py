@@ -140,3 +140,80 @@ def test_dipole_dense_neighbors_match_pairlist():
         pair_mask=jnp.asarray(mask),
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
+# --- espressomd DipolarP3M frame anchors (reference test data) --------------
+
+import re
+from pathlib import Path
+
+DIPOLE_FRAMES = Path("/root/reference/examples/dipoles_test_frames.xyz")
+# per-frame tuning from the reference (cutoffs + espressomd alphas)
+FRAME_PARAMS = [
+    (3.9986718930, 0.8819831493),
+    (4.0000000000, 0.8956299559),
+    (4.7363281250, 0.7215211182),
+]
+
+
+def read_dipole_frames(path):
+    frames = []
+    lines = path.read_text().splitlines()
+    i = 0
+    while i < len(lines):
+        n = int(lines[i])
+        header = lines[i + 1]
+        lattice = np.fromstring(
+            re.search(r'Lattice="([^"]+)"', header).group(1), sep=" "
+        ).reshape(3, 3)
+        energy = float(re.search(r"energy=(\S+)", header).group(1))
+        rows = [lines[i + 2 + a].split() for a in range(n)]
+        frames.append(
+            dict(
+                cell=lattice,
+                positions=np.array([[float(x) for x in r[1:4]] for r in rows]),
+                dipoles=np.array([[float(x) for x in r[4:7]] for r in rows]),
+                forces=np.array([[float(x) for x in r[7:10]] for r in rows]),
+                energy=energy,
+            )
+        )
+        i += 2 + n
+    return frames
+
+
+@pytest.mark.skipif(
+    not DIPOLE_FRAMES.exists(), reason="reference espressomd data not available"
+)
+@pytest.mark.parametrize("frame_index", [0, 1, 2])
+def test_dipolar_ewald_vs_espressomd_frames(frame_index):
+    """Energies AND forces vs espressomd DipolarP3M on random dipole boxes
+    (parity with reference ``test_values_dipole.py:118-167``)."""
+    from torchpme_tpu.prefactors import eV_A
+    from torchpme_tpu.utils.neighbors import neighbor_list
+
+    frame = read_dipole_frames(DIPOLE_FRAMES)[frame_index]
+    cutoff, alpha = FRAME_PARAMS[frame_index]
+    smearing = (1 / (2 * alpha**2)) ** 0.5
+    calc = CalculatorDipole(
+        PotentialDipole(smearing=smearing, prefactor=eV_A), lr_wavelength=0.1
+    )
+    positions = jnp.asarray(frame["positions"])
+    dipoles = jnp.asarray(frame["dipoles"])
+    cell = jnp.asarray(frame["cell"])
+    idx_np, _, shifts_np = neighbor_list(frame["positions"], frame["cell"], cutoff)
+    idx, shifts = jnp.asarray(idx_np), jnp.asarray(shifts_np)
+    ns_k = calc.get_ns_kvectors(cell)
+
+    def energy(positions):
+        vectors = (
+            positions[idx[:, 1]] - positions[idx[:, 0]]
+            + shifts.astype(cell.dtype) @ cell
+        )
+        pot = calc(dipoles, cell, positions, idx, vectors, ns_kvectors=ns_k)
+        return jnp.sum(pot * dipoles)
+
+    e, grad = jax.value_and_grad(energy)(positions)
+    np.testing.assert_allclose(float(e), frame["energy"], atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        -np.asarray(grad), frame["forces"], atol=1e-5, rtol=1e-4
+    )
