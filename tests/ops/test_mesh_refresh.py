@@ -107,3 +107,86 @@ def test_refresh_requires_atom_indices():
     object.__setattr__(stripped, "atom_of_slot", None)
     with pytest.raises(ValueError, match="bucket->atom"):
         refresh_tiled_interpolation(stripped, positions, inv, "Lagrange")
+
+
+class TestStalenessGuards:
+    """Drift/overflow must be observable: eager raises, jit returns NaN
+    (never silently wrong forces)."""
+
+    def setup_method(self):
+        self.cell, self.positions, self.charges = make_system()
+        self.calc = PMECalculator(
+            CoulombPotential(smearing=jnp.float32(0.8)),
+            mesh_spacing=0.4,
+            mesh_backend="tiled",
+        )
+        self.ns = self.calc.get_ns_mesh(self.cell)
+        self.idx = jnp.asarray([[0, 1]])
+        self.dist = jnp.asarray([1.0], jnp.float32)
+
+    def test_eager_drift_raises(self):
+        interp = compute_tiled_interpolation(
+            self.positions, jnp.linalg.inv(self.cell), self.ns,
+            self.calc.interpolation_nodes, "Lagrange",
+        )
+        with pytest.raises(ValueError, match="stale"):
+            self.calc(
+                self.charges, self.cell, self.positions + 3.0,
+                self.idx, self.dist, tiled_interp=interp,
+            )
+
+    def test_jitted_drift_poisons_with_nan(self):
+        interp = compute_tiled_interpolation(
+            self.positions, jnp.linalg.inv(self.cell), self.ns,
+            self.calc.interpolation_nodes, "Lagrange",
+        )
+
+        @jax.jit
+        def step(pos):
+            return self.calc(
+                self.charges, self.cell, pos, self.idx, self.dist,
+                tiled_interp=interp,
+            )
+
+        ok = np.asarray(step(self.positions))
+        assert np.all(np.isfinite(ok))
+        bad = np.asarray(step(self.positions + 3.0))
+        assert np.all(np.isnan(bad))
+
+    def test_jitted_capacity_overflow_poisons_with_nan(self):
+        calc = PMECalculator(
+            CoulombPotential(smearing=jnp.float32(0.8)),
+            mesh_spacing=0.4,
+            mesh_backend="tiled",
+            tile_capacity=1,
+        )
+
+        @jax.jit
+        def step(pos):
+            return calc(
+                self.charges, self.cell, pos, self.idx, self.dist,
+                ns_mesh=self.ns,
+            )
+
+        bad = np.asarray(step(self.positions))
+        assert np.all(np.isnan(bad))
+
+    def test_jitted_forces_poison_too(self):
+        interp = compute_tiled_interpolation(
+            self.positions, jnp.linalg.inv(self.cell), self.ns,
+            self.calc.interpolation_nodes, "Lagrange",
+        )
+
+        @jax.jit
+        def forces(pos):
+            def energy(pos):
+                pot = self.calc(
+                    self.charges, self.cell, pos, self.idx, self.dist,
+                    tiled_interp=interp,
+                )
+                return jnp.sum(pot * self.charges)
+
+            return jax.grad(energy)(pos)
+
+        assert np.all(np.isfinite(np.asarray(forces(self.positions))))
+        assert np.all(np.isnan(np.asarray(forces(self.positions + 3.0))))

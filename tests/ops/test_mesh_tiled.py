@@ -130,3 +130,24 @@ def test_pme_backend_flag_equivalence():
         )
         outs.append(calc(charges, cell, positions, idx, dist))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-13)
+
+
+def test_auto_capacity_handles_clustered_systems():
+    """Eager bucketing sizes capacity from the exact max tile occupancy, so
+    inhomogeneous (slab/cluster) systems work without manual `capacity`."""
+    rng = np.random.default_rng(3)
+    cell = jnp.asarray(np.eye(3) * 8.0)
+    # all 200 atoms inside one 1 Å corner cube → essentially a single xy tile
+    positions = jnp.asarray(rng.uniform(0, 1.0, (200, 3)))
+    charges = jnp.asarray(rng.normal(size=(200, 1)))
+    ns = (32, 32, 32)
+    tiled = compute_tiled_interpolation(
+        positions, jnp.linalg.inv(cell), ns, 4, "Lagrange"
+    )
+    assert int(tiled.dropped) == 0
+    interp = compute_interpolation(positions, jnp.linalg.inv(cell), ns, 4, "Lagrange")
+    np.testing.assert_allclose(
+        tiled_points_to_mesh(tiled, charges),
+        points_to_mesh(interp, charges),
+        atol=1e-10,
+    )

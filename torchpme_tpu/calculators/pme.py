@@ -128,15 +128,28 @@ class PMECalculator(Calculator):
                 ns_mesh, self.interpolation_nodes
             ) and _jax.default_backend() not in ("cpu",)
 
+        mesh_valid = None  # on-device validity flag of the tiled fast path
         if use_tiled:
+            import jax.core as _core
+
             if tiled_interp is not None:
                 # bucket reuse (MD fast path): refresh only the per-slot
                 # geometry from the current positions — differentiable, and
-                # ~15 ms/step cheaper than rebucketing at 100k atoms.  The
-                # caller owns drift checking (see refresh_tiled_interpolation).
-                interp, _ = refresh_tiled_interpolation(
+                # ~15 ms/step cheaper than rebucketing at 100k atoms.
+                interp, mesh_valid = refresh_tiled_interpolation(
                     tiled_interp, positions, jnp.linalg.inv(cell), self._method
                 )
+                # eager-mode safety net: fail loudly on stale buckets
+                if not isinstance(mesh_valid, _core.Tracer) and not bool(
+                    mesh_valid
+                ):
+                    raise ValueError(
+                        "The provided `tiled_interp` bucketing is stale: atoms "
+                        "have drifted out of their tile's stencil window (or "
+                        "it was built with overflow). Rebucket with "
+                        "compute_tiled_interpolation, like refreshing a "
+                        "neighbor list."
+                    )
             else:
                 interp = compute_tiled_interpolation(
                     positions,
@@ -146,10 +159,9 @@ class PMECalculator(Calculator):
                     self._method,
                     capacity=self.tile_capacity,
                 )
+                mesh_valid = interp.dropped == 0
             # eager-mode safety net: tile overflow silently drops atoms under
             # jit (see mesh_tiled docstring), so fail loudly when detectable
-            import jax.core as _core
-
             if not isinstance(interp.dropped, _core.Tracer) and int(interp.dropped):
                 raise ValueError(
                     f"{int(interp.dropped)} atoms exceeded the tile capacity "
@@ -189,6 +201,15 @@ class PMECalculator(Calculator):
         volume = jnp.abs(jnp.linalg.det(cell))
         if use_tiled:
             energy = tiled_mesh_to_points(interp, potential_mesh) / volume
+            # On-device guard (the jit analog of the eager raises above, in the
+            # spirit of the reference's always-on NaN check,
+            # /root/reference/src/torchpme/lib/kspace_filter.py:189-195): a
+            # stale bucketing or capacity overflow would silently corrupt the
+            # density, so poison the result instead of returning wrong values.
+            # Multiplicative (not `where`-select) so the NaN also rides the
+            # VJP: forces computed from a poisoned energy are NaN, not
+            # silently missing their k-space contribution.
+            energy = energy * jnp.where(mesh_valid, 1.0, jnp.nan)
         else:
             energy = mesh_to_points(interp, potential_mesh) / volume
 
@@ -228,7 +249,12 @@ class PMECalculator(Calculator):
         eagerly with :meth:`get_ns_mesh`) and ``tiled_interp`` (a reusable
         tile bucketing from :func:`compute_tiled_interpolation` — the MD fast
         path; weights are refreshed from the current positions inside the
-        call, so gradients stay exact)."""
+        call, so gradients stay exact). Staleness is guarded: if atoms have
+        drifted out of their tile's stencil window — or the bucketing/tile
+        capacity overflowed — eager calls raise and jitted calls return NaN
+        instead of silently wrong values; rebucket with
+        :func:`compute_tiled_interpolation`, like refreshing a neighbor
+        list."""
         from ..utils.validation import validate_parameters
 
         validate_parameters(

@@ -84,6 +84,23 @@ class TiledInterpolation:
     nodes: int = field(metadata=dict(static=True), default=4)
 
 
+def _max_tile_occupancy(positions, inverse_cell, ns, nodes) -> int:
+    """Exact max atoms per xy tile for a concrete configuration (eager only)."""
+    nx, ny, nz = (int(n) for n in ns)
+    ty_count = ny // TILE
+    pos = np.asarray(positions)
+    rel = (pos @ np.asarray(inverse_cell)) * np.asarray(ns, dtype=pos.dtype)
+    if nodes % 2 == 0:
+        base = np.floor(rel).astype(np.int64)
+    else:
+        base = np.round(rel).astype(np.int64)
+    shift0 = 1 - (nodes + 1) // 2
+    start = (base + shift0) % np.asarray((nx, ny, nz), dtype=np.int64)
+    tile_id = (start[:, 0] // TILE) * ty_count + start[:, 1] // TILE
+    counts = np.bincount(tile_id, minlength=(nx // TILE) * ty_count)
+    return int(counts.max()) if counts.size else 0
+
+
 def compute_tiled_interpolation(
     positions: Array,
     inverse_cell: Array,
@@ -105,12 +122,28 @@ def compute_tiled_interpolation(
     tx_count, ty_count = nx // TILE, ny // TILE
     n_tiles = tx_count * ty_count
     if capacity is None:
-        # 2x the mean occupancy plus slack: ≥10σ for condensed-phase systems
-        # at these tile sizes; slab/vacuum systems should raise it explicitly
-        # (overflowing atoms are counted in `.dropped`). Rounded up for MXU
-        # contraction efficiency (capacity is the GEMM reduction dim).
-        mean = -(-n_atoms // n_tiles)
-        capacity = int(-(-min(n_atoms, 2 * mean + 32) // 64) * 64)
+        concrete = not (
+            isinstance(positions, jax.core.Tracer)
+            or isinstance(inverse_cell, jax.core.Tracer)
+        )
+        if concrete:
+            # exact auto-capacity: count the true max tile occupancy so
+            # inhomogeneous (slab/vacuum) systems get a safe capacity without
+            # manual sizing. +8 slack absorbs small MD drift across rebuckets;
+            # rounded up for MXU contraction efficiency (capacity is the GEMM
+            # reduction dim).
+            max_count = int(
+                _max_tile_occupancy(positions, inverse_cell, ns, nodes)
+            )
+            capacity = int(-(-min(n_atoms, max_count + 8) // 64) * 64)
+        else:
+            # under tracing the capacity must be static: 2x the mean occupancy
+            # plus slack (≥10σ for condensed-phase systems at these tile
+            # sizes). Inhomogeneous systems should bucket eagerly or pass
+            # `capacity`; overflow is counted in `.dropped` and the calculator
+            # NaN-poisons the energy when it is nonzero.
+            mean = -(-n_atoms // n_tiles)
+            capacity = int(-(-min(n_atoms, 2 * mean + 32) // 64) * 64)
 
     ns_arr = jnp.asarray(ns, dtype=positions.dtype)
     rel = (
