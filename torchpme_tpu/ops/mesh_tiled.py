@@ -319,17 +319,22 @@ def _dense_weight_factors(interp: TiledInterpolation):
 
 
 def _use_pallas(interp: TiledInterpolation, n_channels: int, dtype, impl: str) -> bool:
-    if impl == "xla":
+    if impl != "pallas":
+        # "auto" resolves to the XLA tile-GEMM path: with the exact
+        # auto-capacity bucketing (v5e, 102k atoms, 128³ mesh, capacity 512)
+        # XLA beats the fused Pallas kernels both forward (3.9 vs 4.9 ms
+        # spread) and through the VJP (7.3 vs 19.9 ms for the full
+        # refresh+spread+gather fwd+bwd) — see tools/profile_step.py.  The
+        # Pallas kernels remain available as an explicit opt-in.
         return False
     from .pallas.mesh_pallas import supports_pallas
 
-    ok = supports_pallas(interp, n_channels, dtype)
-    if impl == "pallas" and not ok:
+    if not supports_pallas(interp, n_channels, dtype):
         raise ValueError(
             "Pallas mesh kernels require a single f32 channel and a z extent "
             "that is a multiple of 128"
         )
-    return ok
+    return True
 
 
 def tiled_points_to_mesh(
