@@ -42,8 +42,8 @@ def build_system(n_atoms: int, seed: int = 0):
     base -= base.mean()
     charges = base.reshape(-1, 1)
     cell = np.eye(3) * box
-    idx, dist, _ = neighbor_list(positions, cell, cutoff=CUTOFF)
-    return positions, charges, cell, idx, dist, box
+    idx, dist, shifts = neighbor_list(positions, cell, cutoff=CUTOFF)
+    return positions, charges, cell, idx, dist, shifts, box
 
 
 def choose_parameters(charges, cell, positions):
@@ -78,7 +78,6 @@ def choose_parameters(charges, cell, positions):
                 )
             )
             if err <= ACCURACY:
-                cost = nodes**3 / spacing**0  # prefer fewer nodes, then coarser mesh
                 if best is None or spacing > best[2] or (
                     spacing == best[2] and nodes < best[1]
                 ):
@@ -89,22 +88,32 @@ def choose_parameters(charges, cell, positions):
     return smearing, best[1], best[2], best[0]
 
 
-def bench_ours(positions, charges, cell, idx, dist, smearing, nodes, spacing):
+def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spacing):
     """Jitted PME energy+force step on the TPU-native fast path:
-    dense-neighbor real space + tile-GEMM mesh backend."""
+    dense-neighbor real space + tile-GEMM mesh backend.
+
+    The timed step is an honest MD step: pair distances are recomputed
+    *differentiably* from the positions inside the step (reference pattern
+    ``/root/reference/tests/helpers.py:278-304``), so the forces include the
+    full real-space chain through positions, not just the k-space part."""
     import jax
     import jax.numpy as jnp
 
     import torchpme_tpu as tpme
-    from torchpme_tpu.utils.neighbors import dense_neighbor_format
+    from torchpme_tpu.utils.neighbors import (
+        compute_distances_dense_symmetric,
+        dense_neighbor_format,
+    )
 
     dtype = jnp.float32
-    dense = dense_neighbor_format(idx, dist, positions.shape[0])
+    dense = dense_neighbor_format(
+        idx, dist, positions.shape[0], neighbor_shifts=shifts
+    )
     charges_j = jnp.asarray(charges, dtype=dtype)
     cell_j = jnp.asarray(cell, dtype=dtype)
     positions_j = jnp.asarray(positions, dtype=dtype)
     nbr_j = jnp.asarray(dense["indices"])
-    dist_j = jnp.asarray(dense["distances"], dtype=dtype)
+    shifts_j = jnp.asarray(dense["shifts"], dtype=dtype)
     mask_j = jnp.asarray(dense["mask"])
 
     calc = tpme.PMECalculator(
@@ -122,16 +131,18 @@ def bench_ours(positions, charges, cell, idx, dist, smearing, nodes, spacing):
         positions_j, jnp.linalg.inv(cell_j), ns_mesh, nodes, "Lagrange"
     )
 
-    def energy(positions, dist):
+    def energy(positions):
+        # scatter-free backward through the distance recompute (TPU fast path)
+        d = compute_distances_dense_symmetric(positions, nbr_j, cell_j, shifts_j)
         pot = calc(
-            charges_j, cell_j, positions, nbr_j, dist,
+            charges_j, cell_j, positions, nbr_j, d,
             pair_mask=mask_j, ns_mesh=ns_mesh, tiled_interp=tiled_interp,
         )
         return jnp.sum(pot * charges_j)
 
-    # forces w.r.t. positions (k-space path) and distances (real-space path):
-    # together the full force content of one MD step
-    grad_step = jax.value_and_grad(energy, argnums=(0, 1))
+    # full forces w.r.t. positions: the real-space chain (gather + norm +
+    # scatter of the dr̂ terms) AND the k-space chain, one MD force evaluation
+    grad_step = jax.value_and_grad(energy)
 
     # Time CHAINED steps, the way an MD loop actually runs: each step feeds a
     # tiny force perturbation into the next step's inputs, all on device, and
@@ -140,29 +151,36 @@ def bench_ours(positions, charges, cell, idx, dist, smearing, nodes, spacing):
     CHAIN = 10
 
     @jax.jit
-    def chained(positions, dist):
+    def chained(positions):
         def body(_, carry):
-            p, d, acc = carry
-            e, (gp, gd) = grad_step(p, d)
-            return (p - 1e-7 * gp, d - 1e-9 * gd, acc + e)
+            p, acc = carry
+            e, gp = grad_step(p)
+            return (p - 1e-7 * gp, acc + e)
 
-        return jax.lax.fori_loop(0, CHAIN, body, (positions, dist, jnp.float32(0)))
+        return jax.lax.fori_loop(0, CHAIN, body, (positions, jnp.float32(0)))
 
-    out = chained(positions_j, dist_j)
-    _ = float(out[2])  # compile + sync
+    out = chained(positions_j)
+    _ = float(out[1])  # compile + sync
     times = []
     for _i in range(max(1, N_REPEAT // 3)):
         start = time.monotonic()
-        out = chained(positions_j, dist_j)
-        _ = float(out[2])  # host sync once per chain
+        out = chained(positions_j)
+        _ = float(out[1])  # host sync once per chain
         times.append((time.monotonic() - start) / CHAIN)
-    e_single = float(energy(positions_j, dist_j))
+    e_single = float(energy(positions_j))
     return float(np.median(times) * 1e3), ns_mesh, e_single
 
 
-def bench_reference_cpu(positions, charges, cell, idx, dist, smearing, nodes, spacing):
-    """Measure lab-cosmo/torch-pme (pure-python torch) on local CPU, cached."""
-    key = f"torchpme_cpu_pme_n{N_ATOMS}"
+def bench_reference_cpu(
+    positions, charges, cell, idx, dist, shifts, smearing, nodes, spacing
+):
+    """Measure lab-cosmo/torch-pme (pure-python torch) on local CPU, cached.
+
+    Same honest MD step as ``bench_ours``: distances are recomputed
+    differentiably from positions + cell shifts inside the timed loop
+    (the reference's own force-correctness pattern,
+    ``/root/reference/tests/helpers.py:278-304``)."""
+    key = f"torchpme_cpu_pme_mdstep_n{N_ATOMS}"
     if BASELINE_CACHE.exists():
         cache = json.loads(BASELINE_CACHE.read_text())
         if key in cache:
@@ -190,7 +208,7 @@ def bench_reference_cpu(positions, charges, cell, idx, dist, smearing, nodes, sp
         cell_t = torch.tensor(cell, **dd)
         positions_t = torch.tensor(positions, **dd, requires_grad=True)
         idx_t = torch.tensor(idx, dtype=torch.long)
-        dist_t = torch.tensor(dist, **dd)
+        shifts_t = torch.tensor(shifts, **dd)
         calc = torchpme.PMECalculator(
             torchpme.CoulombPotential(smearing=smearing),
             mesh_spacing=spacing,
@@ -200,6 +218,12 @@ def bench_reference_cpu(positions, charges, cell, idx, dist, smearing, nodes, sp
         times = []
         for i in range(1 + 2):
             start = time.monotonic()
+            vec = (
+                positions_t[idx_t[:, 1]]
+                - positions_t[idx_t[:, 0]]
+                + shifts_t @ cell_t
+            )
+            dist_t = torch.linalg.norm(vec, dim=-1)
             pot = calc.forward(
                 charges=charges_t,
                 cell=cell_t,
@@ -225,7 +249,7 @@ def bench_reference_cpu(positions, charges, cell, idx, dist, smearing, nodes, sp
 
 
 def main():
-    positions, charges, cell, idx, dist, box = build_system(N_ATOMS)
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
     print(
         f"# N={N_ATOMS} box={box:.1f}A pairs={idx.shape[0]} smearing={smearing:.3f} "
@@ -233,14 +257,14 @@ def main():
         file=sys.stderr,
     )
     ms, ns_mesh, energy = bench_ours(
-        positions, charges, cell, idx, dist, smearing, nodes, spacing
+        positions, charges, cell, idx, dist, shifts, smearing, nodes, spacing
     )
     print(f"# mesh={ns_mesh} energy={energy:.4f} ours={ms:.2f} ms", file=sys.stderr)
 
     baseline_ms = None
     if os.environ.get("BENCH_SKIP_BASELINE") != "1":
         baseline_ms = bench_reference_cpu(
-            positions, charges, cell, idx, dist, smearing, nodes, spacing
+            positions, charges, cell, idx, dist, shifts, smearing, nodes, spacing
         )
         print(f"# torch-pme CPU baseline: {baseline_ms} ms", file=sys.stderr)
 

@@ -147,7 +147,9 @@ def test_dipole_dense_neighbors_match_pairlist():
 import re
 from pathlib import Path
 
-DIPOLE_FRAMES = Path("/root/reference/examples/dipoles_test_frames.xyz")
+# espressomd DipolarP3M golden frames, vendored so the oracle runs without
+# the reference checkout mounted
+DIPOLE_FRAMES = Path(__file__).parents[1] / "data" / "dipoles_test_frames.xyz"
 # per-frame tuning from the reference (cutoffs + espressomd alphas)
 FRAME_PARAMS = [
     (3.9986718930, 0.8819831493),
@@ -181,9 +183,6 @@ def read_dipole_frames(path):
     return frames
 
 
-@pytest.mark.skipif(
-    not DIPOLE_FRAMES.exists(), reason="reference espressomd data not available"
-)
 @pytest.mark.parametrize("frame_index", [0, 1, 2])
 def test_dipolar_ewald_vs_espressomd_frames(frame_index):
     """Energies AND forces vs espressomd DipolarP3M on random dipole boxes

@@ -4,8 +4,9 @@
 The reference ships random 8-atom NaCl boxes with GROMACS SPME energies,
 forces and stress in the extended-xyz headers
 (``examples/coulomb_test_frames.xyz``, computed with ``coulombtype = PME``,
-``pme_order = 8``, ``fourierspacing = 0.01 nm``).  These tests read that data
-file directly and skip when the reference checkout is not mounted.
+``pme_order = 8``, ``fourierspacing = 0.01 nm``).  The frames are vendored in
+``tests/data/`` so these strongest external oracles run without the reference
+checkout mounted.
 """
 
 import re
@@ -19,11 +20,7 @@ import pytest
 import torchpme_tpu as tpme
 from torchpme_tpu.utils.neighbors import compute_distances, neighbor_list
 
-FRAMES_FILE = Path("/root/reference/examples/coulomb_test_frames.xyz")
-
-pytestmark = pytest.mark.skipif(
-    not FRAMES_FILE.exists(), reason="reference GROMACS data file not available"
-)
+FRAMES_FILE = Path(__file__).parents[1] / "data" / "coulomb_test_frames.xyz"
 
 CUTOFF = 5.54
 

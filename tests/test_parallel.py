@@ -16,6 +16,7 @@ from jax.sharding import Mesh
 
 import torchpme_tpu as tpme
 from torchpme_tpu.parallel import (
+    compute_slab_bucketing,
     pad_to_multiple,
     sharded_ewald_potentials,
     sharded_mesh_potentials,
@@ -81,10 +82,17 @@ def test_sharded_gradients_flow(device_mesh, system):
     charges, cell, positions, idx, dist = system
     calc = tpme.PMECalculator(tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.25)
     ns = calc.get_ns_mesh(cell)
+    bucket = compute_slab_bucketing(
+        positions, cell, ns, 8, calc.interpolation_nodes
+    )
 
     def sharded_energy(q, pos):
         return jnp.sum(
-            sharded_mesh_potentials(calc, device_mesh, q, cell, pos, idx, dist, ns) * q
+            sharded_mesh_potentials(
+                calc, device_mesh, q, cell, pos, idx, dist, ns,
+                slab_bucketing=bucket,
+            )
+            * q
         )
 
     def single_energy(q, pos):
@@ -94,6 +102,84 @@ def test_sharded_gradients_flow(device_mesh, system):
     g_single = jax.grad(single_energy, argnums=(0, 1))(charges, positions)
     for gs, g1 in zip(g_sharded, g_single):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(g1), atol=1e-12)
+
+
+def test_sharded_mesh_collective_volume(device_mesh, system):
+    """No collective may carry the full mesh: the density all-reduce of the
+    naive design is replaced by O(halo) ppermutes and O(mesh/D) all_to_alls
+    (the per-atom (N, C) psum is the only all-reduce of mesh-derived data)."""
+    charges, cell, positions, idx, dist = system
+    calc = tpme.PMECalculator(tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.25)
+    ns = calc.get_ns_mesh(cell)
+    bucket = compute_slab_bucketing(positions, cell, ns, 8, calc.interpolation_nodes)
+
+    fn = jax.jit(
+        lambda q, pos: sharded_mesh_potentials(
+            calc, device_mesh, q, cell, pos, idx, dist, ns, slab_bucketing=bucket
+        )
+    )
+    hlo = fn.lower(charges, positions).compile().as_text()
+
+    import re
+
+    mesh_elems = ns[0] * ns[1] * ns[2]
+    assert "all-to-all" in hlo, "distributed DFT transpose missing"
+    assert "collective-permute" in hlo, "halo ring exchange missing"
+    # every all-reduce operand must be far below the full mesh size
+    for shape in re.findall(r"all-reduce(?:-start)?\(?\)? ?= ?\(?([^)\n]*)", hlo):
+        for dims in re.findall(r"\w+\[([\d,]+)\]", shape):
+            elems = int(np.prod([int(d) for d in dims.split(",")]))
+            assert elems < mesh_elems // 8, (
+                f"all-reduce of {elems} elements rivals the {mesh_elems}-point "
+                "mesh — the full-mesh reduction is back"
+            )
+
+
+def test_sharded_mesh_stale_bucketing_poisons(device_mesh, system):
+    """Atoms drifting out of their slab's halo window must yield NaN (an
+    observable failure), never silently wrong values."""
+    charges, cell, positions, idx, dist = system
+    calc = tpme.PMECalculator(tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.25)
+    ns = calc.get_ns_mesh(cell)
+    bucket = compute_slab_bucketing(positions, cell, ns, 8, calc.interpolation_nodes)
+
+    # drift one atom half a box along x: its stencil escapes the halo window
+    drifted = positions.at[0, 0].add(float(cell[0, 0]) / 2)
+    out = jax.jit(
+        lambda pos: sharded_mesh_potentials(
+            calc, device_mesh, charges, cell, pos, idx, dist, ns,
+            slab_bucketing=bucket,
+        )
+    )(drifted)
+    assert bool(jnp.all(jnp.isnan(out))), "stale slab bucketing not detected"
+
+
+def test_sharded_mesh_requires_bucketing_under_jit(device_mesh, system):
+    charges, cell, positions, idx, dist = system
+    calc = tpme.PMECalculator(tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.25)
+    ns = calc.get_ns_mesh(cell)
+    with pytest.raises(ValueError, match="slab_bucketing"):
+        jax.jit(
+            lambda pos: sharded_mesh_potentials(
+                calc, device_mesh, charges, cell, pos, idx, dist, ns
+            )
+        )(positions)
+
+
+def test_slab_bucketing_validation(system):
+    charges, cell, positions, idx, dist = system
+    with pytest.raises(ValueError, match="divisible"):
+        compute_slab_bucketing(positions, cell, (30, 32, 32), 8, 4)
+    with pytest.raises(ValueError, match="halo"):
+        compute_slab_bucketing(positions, cell, (16, 16, 16), 8, 7)
+    with pytest.raises(ValueError, match="capacity"):
+        compute_slab_bucketing(positions, cell, (32, 32, 32), 8, 4, capacity=1)
+    b = compute_slab_bucketing(positions, cell, (32, 32, 32), 8, 4)
+    # every atom appears exactly once
+    counts = np.bincount(
+        np.asarray(b.atom_index)[np.asarray(b.slot_mask)], minlength=len(positions)
+    )
+    np.testing.assert_array_equal(counts, 1)
 
 
 def test_dryrun_multichip_entrypoint():

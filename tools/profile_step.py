@@ -61,11 +61,8 @@ def main():
     )
 
     print(f"device={jax.devices()[0]} N={N_ATOMS}")
-    positions, charges, cell, idx, dist, box = build_system(N_ATOMS)
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
-    from torchpme_tpu.utils.neighbors import neighbor_list
-
-    idx, dist, shifts = neighbor_list(positions, cell, cutoff=CUTOFF)
     dense = dense_neighbor_format(idx, dist, N_ATOMS, neighbor_shifts=shifts)
 
     dtype = jnp.float32
@@ -184,6 +181,35 @@ def main():
     run, init = chain(body_rm, pos)
     timed("rspace fwd+bwd (recomputed dist)", run, init)
 
+    from torchpme_tpu.utils.neighbors import compute_distances_dense_symmetric
+
+    def rspace_sym(p):
+        d = compute_distances_dense_symmetric(
+            p, nbr, cell=cell_j, neighbor_shifts=shifts_d
+        )
+        pot = calc._compute_rspace(q, nbr, d, pair_mask=mask)
+        return jnp.sum(pot * q)
+
+    def body_rsym(p):
+        e, g = jax.value_and_grad(rspace_sym)(p)
+        return p - 1e-9 * g
+
+    run, init = chain(body_rsym, pos)
+    timed("rspace fwd+bwd (symmetric-VJP dist)", run, init)
+
+    def body_dist_only(p):
+        def f(pp):
+            d = compute_distances_dense_symmetric(
+                pp, nbr, cell=cell_j, neighbor_shifts=shifts_d
+            )
+            return jnp.sum(d * mask)
+
+        e, g = jax.value_and_grad(f)(p)
+        return p - 1e-9 * g
+
+    run, init = chain(body_dist_only, pos)
+    timed("dist-only fwd+bwd (symmetric VJP)", run, init)
+
     # --- full step, static dist vs honest MD step ---------------------------
     def energy_static(p, d):
         pot = calc(q, cell_j, p, nbr, d, pair_mask=mask, ns_mesh=ns, tiled_interp=interp)
@@ -198,7 +224,9 @@ def main():
     timed("FULL step (static dist)", run, init)
 
     def energy_md(p):
-        d = compute_distances_dense(p, nbr, cell=cell_j, neighbor_shifts=shifts_d)
+        d = compute_distances_dense_symmetric(
+            p, nbr, cell=cell_j, neighbor_shifts=shifts_d
+        )
         pot = calc(q, cell_j, p, nbr, d, pair_mask=mask, ns_mesh=ns, tiled_interp=interp)
         return jnp.sum(pot * q)
 

@@ -6,12 +6,16 @@ layout.
 """
 
 from .sharded import (
+    SlabBucketing,
+    compute_slab_bucketing,
     pad_to_multiple,
     sharded_ewald_potentials,
     sharded_mesh_potentials,
 )
 
 __all__ = [
+    "SlabBucketing",
+    "compute_slab_bucketing",
     "pad_to_multiple",
     "sharded_ewald_potentials",
     "sharded_mesh_potentials",

@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "compute_distances",
     "compute_distances_dense",
+    "compute_distances_dense_symmetric",
     "dense_neighbor_format",
     "neighbor_list",
 ]
@@ -250,6 +251,82 @@ def dense_neighbor_format(
         shifts[i, rank] = s
         out["shifts"] = shifts
     return out
+
+
+def compute_distances_dense_symmetric(
+    positions, neighbor_indices, cell=None, neighbor_shifts=None
+):
+    r"""Dense-format distances with a **scatter-free backward pass**.
+
+    Functionally identical to :func:`compute_distances_dense` in the forward
+    direction, but the position cotangent is computed with a custom VJP that
+    exploits the mirrored-pair identity of a *symmetric* dense neighbor list
+    (every pair ``(i, j, S)`` also appears as ``(j, i, -S)``, as produced by
+    :func:`dense_neighbor_format`): the scatter half of the gather's VJP
+    equals the dense half, so
+
+    .. math:: \partial E/\partial p_i = -2 \sum_s g_{is}\,\hat r_{is}
+
+    with :math:`g` the distance cotangent.  This replaces the XLA scatter-add
+    (which TPUs execute as a serialized loop — ~20× the cost of the rest of
+    the step, measured at 102k atoms) with a dense reduction.
+
+    **Correctness requires** (a) a symmetric dense list and (b) a
+    pair-symmetric cotangent — true for any pair energy
+    :math:`\sum m_{is} f(d_{is})\,q_i q_{j_s}` such as the calculators'
+    real-space sums, where masked slots carry zero cotangent.  For
+    non-symmetric uses, fall back to :func:`compute_distances_dense`.
+    The cell cotangent (stress) is exact without doubling: each pair's
+    ``shifts ⊗ r̂`` term appears once per dense row.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if (cell is None) != (neighbor_shifts is None):
+        raise ValueError(
+            "Provide `cell` and `neighbor_shifts` together (or neither)."
+        )
+
+    def _vectors(positions, cell):
+        vectors = positions[neighbor_indices] - positions[:, None, :]
+        if cell is not None:
+            vectors = vectors + jnp.matmul(
+                neighbor_shifts.astype(cell.dtype), cell, precision="highest"
+            )
+        return vectors
+
+    @jax.custom_vjp
+    def _dist(positions, cell):
+        vectors = _vectors(positions, cell)
+        sq = jnp.sum(vectors**2, axis=-1)
+        safe_sq = jnp.where(sq == 0.0, 1.0, sq)
+        return jnp.where(sq == 0.0, 1.0, jnp.sqrt(safe_sq))
+
+    def _fwd(positions, cell):
+        return _dist(positions, cell), (positions, cell)
+
+    def _bwd(res, g):
+        positions, cell = res
+        vectors = _vectors(positions, cell)
+        sq = jnp.sum(vectors**2, axis=-1)
+        safe_d = jnp.where(sq == 0.0, 1.0, jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq)))
+        r_hat = vectors / safe_d[..., None]
+        # mirrored-pair identity: scatter half == dense half → factor 2
+        grad_pos = -2.0 * jnp.sum(g[..., None] * r_hat, axis=1)
+        if cell is None:
+            return grad_pos, None
+        # exact (each dense row counts its own pair once)
+        grad_cell = jnp.einsum(
+            "nc,nci,ncj->ij",
+            g,
+            neighbor_shifts.astype(r_hat.dtype),
+            r_hat,
+            precision="highest",
+        )
+        return grad_pos, grad_cell
+
+    _dist.defvjp(_fwd, _bwd)
+    return _dist(positions, cell)
 
 
 def compute_distances_dense(positions, neighbor_indices, cell=None, neighbor_shifts=None):
