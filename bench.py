@@ -90,7 +90,8 @@ def choose_parameters(charges, cell, positions):
 
 def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spacing):
     """Jitted PME energy+force step on the TPU-native fast path:
-    dense-neighbor real space + tile-GEMM mesh backend.
+    cell-list real space (gather-free 27-cell windows) + tile-GEMM mesh
+    backend.
 
     The timed step is an honest MD step: pair distances are recomputed
     *differentiably* from the positions inside the step (reference pattern
@@ -100,21 +101,12 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
     import jax.numpy as jnp
 
     import torchpme_tpu as tpme
-    from torchpme_tpu.utils.neighbors import (
-        compute_distances_dense_symmetric,
-        dense_neighbor_format,
-    )
+    from torchpme_tpu.ops.rspace_cells import compute_cell_list
 
     dtype = jnp.float32
-    dense = dense_neighbor_format(
-        idx, dist, positions.shape[0], neighbor_shifts=shifts
-    )
     charges_j = jnp.asarray(charges, dtype=dtype)
     cell_j = jnp.asarray(cell, dtype=dtype)
     positions_j = jnp.asarray(positions, dtype=dtype)
-    nbr_j = jnp.asarray(dense["indices"])
-    shifts_j = jnp.asarray(dense["shifts"], dtype=dtype)
-    mask_j = jnp.asarray(dense["mask"])
 
     calc = tpme.PMECalculator(
         tpme.CoulombPotential(smearing=smearing),
@@ -123,22 +115,22 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
     )
     ns_mesh = calc.get_ns_mesh(cell_j)
 
-    # tile bucketing reused across steps like the neighbor list (refreshed
-    # from the positions inside the step; see refresh_tiled_interpolation)
+    # cell list + tile bucketing reused across steps like a neighbor list
+    # (both are refreshed from the positions inside the step)
     from torchpme_tpu.ops.mesh_tiled import compute_tiled_interpolation
 
+    clist = compute_cell_list(positions, cell, CUTOFF)
     tiled_interp = compute_tiled_interpolation(
         positions_j, jnp.linalg.inv(cell_j), ns_mesh, nodes, "Lagrange"
     )
 
     def energy(positions):
-        # scatter-free backward through the distance recompute (TPU fast path)
-        d = compute_distances_dense_symmetric(positions, nbr_j, cell_j, shifts_j)
-        pot = calc(
-            charges_j, cell_j, positions, nbr_j, d,
-            pair_mask=mask_j, ns_mesh=ns_mesh, tiled_interp=tiled_interp,
+        # Calculator.energy: the real-space sum contracts in cell-bucket
+        # order, skipping the bucket→atom scatter of the per-atom API
+        return calc.energy(
+            charges_j, cell_j, positions,
+            cell_list=clist, ns_mesh=ns_mesh, tiled_interp=tiled_interp,
         )
-        return jnp.sum(pot * charges_j)
 
     # full forces w.r.t. positions: the real-space chain (gather + norm +
     # scatter of the dr̂ terms) AND the k-space chain, one MD force evaluation

@@ -29,7 +29,7 @@ indices, distances, shifts = map(
 smearing, params, _ = tpme.tuning.tune_pme(
     charges, cell, positions, cutoff=cutoff,
     neighbor_indices=indices, neighbor_distances=distances,
-    accuracy=1e-3, nodes_lo=3, nodes_hi=4, mesh_lo=3, mesh_hi=5,
+    accuracy=1e-3, nodes_lo=3, nodes_hi=4, mesh_lo=3, mesh_hi=6,
 )
 calculator = tpme.PMECalculator(tpme.CoulombPotential(smearing=smearing), **params)
 ns_mesh = calculator.get_ns_mesh(cell)  # static mesh shape for jit

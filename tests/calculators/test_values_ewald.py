@@ -85,6 +85,28 @@ def test_madelung(calc_name, crystal_name, scaling_factor, full_neighbor_list):
     np.testing.assert_allclose(float(madelung), madelung_ref, atol=0.0, rtol=rtol)
 
 
+@pytest.mark.parametrize("calc_name", ["ewald", "pme", "p3m"])
+@pytest.mark.parametrize("crystal_name", NEUTRAL_CRYSTALS)
+def test_madelung_float32(calc_name, crystal_name):
+    """The f32 production path must hit the Madelung oracle at relaxed rtol
+    (the reference runs its whole value matrix in both dtypes,
+    ``tests/helpers.py:15-16``)."""
+    pos, charges, cell, madelung_ref, num_units = define_crystal(
+        crystal_name, dtype=jnp.float32
+    )
+    make, sr_cutoff, rtol = make_calculator(calc_name, 1.0)
+    calc = make(False)
+    indices, distances, _ = crystal_neighbor_list(
+        pos, cell, cutoff=sr_cutoff, dtype=jnp.float32
+    )
+    potentials = calc(charges, cell, pos, indices, distances)
+    assert potentials.dtype == jnp.float32
+    madelung = -jnp.sum(potentials * charges) / num_units
+    np.testing.assert_allclose(
+        float(madelung), madelung_ref, atol=0.0, rtol=max(rtol, 2e-4)
+    )
+
+
 @pytest.mark.parametrize(
     "crystal_name",
     ["wigner_sc", "wigner_fcc", "wigner_fcc_cubiccell", "wigner_bcc", "wigner_bcc_cubiccell"],

@@ -1,0 +1,181 @@
+"""Cell-list real-space sum: equivalence with the neighbor-list path.
+
+The cell list is the TPU-native neighbor engine (gather-free 27-cell
+windows); it must reproduce the pair-list real-space sum exactly — values
+and gradients — for orthorhombic AND triclinic cells, wrapped AND unwrapped
+positions, and fail observably (NaN) when stale.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchpme_tpu as tpme
+from torchpme_tpu.ops.rspace_cells import (
+    cell_list_rspace_potentials,
+    compute_cell_list,
+)
+from torchpme_tpu.utils.neighbors import compute_distances, neighbor_list
+
+sys.path.append(str(Path(__file__).parents[1]))
+
+
+def _system(seed, n, box, triclinic, spread=0.0):
+    rng = np.random.default_rng(seed)
+    # `spread` pushes positions outside the cell to exercise image wrapping
+    positions = jnp.asarray(rng.uniform(-spread, box + spread, (n, 3)))
+    charges = jnp.asarray(rng.normal(size=(n, 2)))
+    if triclinic:
+        cell = jnp.asarray([[box, 0, 0], [0.3, box, 0], [0.2, -0.4, box]])
+    else:
+        cell = jnp.eye(3) * box
+    return positions, charges, cell
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+@pytest.mark.parametrize("spread", [0.0, 2.0])
+def test_matches_neighbor_list(triclinic, spread):
+    positions, charges, cell = _system(1, 60, 8.0, triclinic, spread)
+    cutoff = 3.1
+    idx, dist, _ = neighbor_list(
+        np.asarray(positions), np.asarray(cell), cutoff, full_list=True
+    )
+    pot = tpme.CoulombPotential(smearing=1.0)
+    calc = tpme.EwaldCalculator(pot, lr_wavelength=1.0, full_neighbor_list=True)
+    ref = calc._compute_rspace(charges, jnp.asarray(idx), jnp.asarray(dist))
+
+    clist = compute_cell_list(positions, cell, cutoff)
+    out = cell_list_rspace_potentials(pot, charges, positions, cell, clist)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_gradients_match_neighbor_list(triclinic):
+    positions, charges, cell = _system(2, 48, 7.5, triclinic)
+    cutoff = 2.9
+    idx, dist, shifts = neighbor_list(
+        np.asarray(positions), np.asarray(cell), cutoff, full_list=True
+    )
+    idx, shifts = jnp.asarray(idx), jnp.asarray(shifts)
+    pot = tpme.CoulombPotential(smearing=1.0)
+    calc = tpme.EwaldCalculator(pot, lr_wavelength=1.0, full_neighbor_list=True)
+    clist = compute_cell_list(positions, cell, cutoff)
+
+    def e_cells(p, q, c):
+        return jnp.sum(cell_list_rspace_potentials(pot, q, p, c, clist) * q)
+
+    def e_ref(p, q, c):
+        d = compute_distances(p, idx, cell=c, neighbor_shifts=shifts)
+        return jnp.sum(calc._compute_rspace(q, idx, d) * q)
+
+    g1 = jax.jit(jax.grad(e_cells, argnums=(0, 1, 2)))(positions, charges, cell)
+    g2 = jax.grad(e_ref, argnums=(0, 1, 2))(positions, charges, cell)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_calculator_accepts_cell_list():
+    """The calculators take `cell_list` as a first-class alternative to a
+    neighbor list; totals must agree through the full PME stack."""
+    positions, charges, cell = _system(3, 40, 7.0, False)
+    charges = charges[:, :1]
+    cutoff = 2.5
+    idx, dist, _ = neighbor_list(np.asarray(positions), np.asarray(cell), cutoff)
+    calc = tpme.PMECalculator(tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.4)
+    ns = calc.get_ns_mesh(cell)
+    ref = calc(charges, cell, positions, jnp.asarray(idx), jnp.asarray(dist), ns_mesh=ns)
+    clist = compute_cell_list(positions, cell, cutoff)
+    out = calc(charges, cell, positions, cell_list=clist, ns_mesh=ns)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+    with pytest.raises(ValueError, match="not both"):
+        calc(
+            charges, cell, positions, jnp.asarray(idx), jnp.asarray(dist),
+            cell_list=clist, ns_mesh=ns,
+        )
+    with pytest.raises(ValueError, match="neighbor_indices"):
+        calc(charges, cell, positions, ns_mesh=ns)
+
+
+def test_energy_method_matches_potentials():
+    """Calculator.energy (bucket-order fast path) == sum(pot · q)."""
+    positions, charges, cell = _system(8, 40, 7.0, False)
+    charges = charges[:, :1]
+    cutoff = 2.5
+    calc = tpme.PMECalculator(tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.4)
+    ns = calc.get_ns_mesh(cell)
+    clist = compute_cell_list(positions, cell, cutoff)
+    ref = jnp.sum(calc(charges, cell, positions, cell_list=clist, ns_mesh=ns) * charges)
+    e = calc.energy(charges, cell, positions, cell_list=clist, ns_mesh=ns)
+    np.testing.assert_allclose(float(e), float(ref), atol=1e-13)
+    # and on the neighbor-list path
+    idx, dist, _ = neighbor_list(np.asarray(positions), np.asarray(cell), cutoff)
+    e_nl = calc.energy(
+        charges, cell, positions, jnp.asarray(idx), jnp.asarray(dist), ns_mesh=ns
+    )
+    np.testing.assert_allclose(float(e_nl), float(ref), atol=1e-12)
+
+
+def test_direct_calculator_cell_list():
+    """Cell lists also serve the direct (no-smearing) calculator."""
+    positions, charges, cell = _system(7, 30, 6.0, False)
+    charges = charges[:, :1]
+    cutoff = 2.2
+    idx, dist, _ = neighbor_list(np.asarray(positions), np.asarray(cell), cutoff)
+    calc = tpme.Calculator(tpme.CoulombPotential())
+    ref = calc(charges, cell, positions, jnp.asarray(idx), jnp.asarray(dist))
+    out = calc(charges, cell, positions, cell_list=compute_cell_list(positions, cell, cutoff))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_stale_cell_list_poisons():
+    positions, charges, cell = _system(4, 40, 7.0, False)
+    cutoff = 2.5
+    pot = tpme.CoulombPotential(smearing=1.0)
+    clist = compute_cell_list(positions, cell, cutoff)
+    drifted = positions.at[0].add(jnp.asarray([3.5, 0.0, 0.0]))
+    out = jax.jit(
+        lambda p: cell_list_rspace_potentials(pot, charges, p, cell, clist)
+    )(drifted)
+    assert bool(jnp.all(jnp.isnan(out))), "stale cell list not detected"
+
+
+def test_validation():
+    positions, charges, cell = _system(5, 20, 6.0, False)
+    with pytest.raises(ValueError, match="plane distance"):
+        compute_cell_list(positions, cell, cutoff=7.0)
+    with pytest.raises(ValueError, match="capacity"):
+        compute_cell_list(positions, cell, cutoff=2.0, capacity=1)
+    clist = compute_cell_list(positions, cell, cutoff=2.0)
+    counts = np.bincount(
+        np.asarray(clist.atom_index)[np.asarray(clist.slot_mask)],
+        minlength=len(positions),
+    )
+    np.testing.assert_array_equal(counts, 1)  # every atom bucketed exactly once
+
+
+def test_brute_force_neighbor_list_handles_unwrapped_positions():
+    """Regression: positions far outside the cell used to need more image
+    shifts than the ±n_img window enumerated — the list silently missed
+    pairs.  Distances from the corrected shifts must be self-consistent."""
+    rng = np.random.default_rng(6)
+    box = 6.0
+    positions = jnp.asarray(rng.uniform(-2 * box, 3 * box, (25, 3)))
+    cell = jnp.asarray([[box, 0, 0], [0.3, box, 0], [0.2, -0.4, box]])
+    idx, dist, shifts = neighbor_list(
+        np.asarray(positions), np.asarray(cell), 2.7, full_list=True
+    )
+    d = compute_distances(
+        positions, jnp.asarray(idx), cell=cell, neighbor_shifts=jnp.asarray(shifts)
+    )
+    np.testing.assert_allclose(np.asarray(d), dist, atol=1e-12)
+    # oracle: wrapping positions first must give the identical pair multiset
+    inv = np.linalg.inv(np.asarray(cell))
+    wrapped = np.asarray(positions) - np.floor(np.asarray(positions) @ inv) @ np.asarray(cell)
+    idx_w, dist_w, _ = neighbor_list(wrapped, np.asarray(cell), 2.7, full_list=True)
+    assert idx.shape == idx_w.shape
+    np.testing.assert_allclose(np.sort(dist), np.sort(dist_w), atol=1e-10)

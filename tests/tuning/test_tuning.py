@@ -38,6 +38,53 @@ def cscl_supercell():
     return positions, charges, cell, indices, distances, madelung_ref, nfu * reps**3
 
 
+@pytest.mark.parametrize("accuracy", [1e-1, 1e-5])
+@pytest.mark.parametrize("tune_name", ["ewald", "pme", "p3m"])
+def test_tuned_parameters_achieve_accuracy_madelung(tune_name, accuracy):
+    """Tuned parameters must reach the *requested* accuracy on the Madelung
+    oracle at 1e-1 and 1e-5 (with 1e-3 covered on the supercell below) —
+    parity with reference ``tests/tuning/test_tuning.py:62-112``, which
+    asserts ``rtol=accuracy`` directly.  The 1e-5 point is the one that
+    stresses the error bounds."""
+    positions, charges, cell, madelung_ref, n_units = define_crystal("CsCl")
+    indices, distances, _ = crystal_neighbor_list(positions, cell, cutoff=CUTOFF)
+
+    tune_fn = {"ewald": tune_ewald, "pme": tune_pme, "p3m": tune_p3m}[tune_name]
+    calc_cls = {
+        "ewald": EwaldCalculator,
+        "pme": PMECalculator,
+        "p3m": P3MCalculator,
+    }[tune_name]
+    # grids sized per accuracy so the timed-candidate compile count stays small
+    if tune_name == "ewald":
+        grid_kwargs = dict(ns_lo=1, ns_hi=4) if accuracy > 1e-4 else dict(
+            ns_lo=6, ns_hi=10
+        )
+    else:
+        grid_kwargs = (
+            dict(nodes_lo=3, nodes_hi=4, mesh_lo=2, mesh_hi=4)
+            if accuracy > 1e-4
+            else dict(nodes_lo=4, nodes_hi=5, mesh_lo=4, mesh_hi=7)
+        )
+
+    smearing, kspace_params, _ = tune_fn(
+        charges,
+        cell,
+        positions,
+        cutoff=CUTOFF,
+        neighbor_indices=indices,
+        neighbor_distances=distances,
+        accuracy=accuracy,
+        **grid_kwargs,
+    )
+    calc = calc_cls(CoulombPotential(smearing=smearing), **kspace_params)
+    potentials = calc(charges, cell, positions, indices, distances)
+    madelung = -jnp.sum(potentials * charges) / n_units
+    np.testing.assert_allclose(
+        float(madelung), madelung_ref, atol=0.0, rtol=accuracy
+    )
+
+
 @pytest.mark.parametrize("accuracy", [1e-3])
 @pytest.mark.parametrize("tune_name", ["ewald", "pme", "p3m"])
 def test_tuned_parameters_achieve_accuracy(tune_name, accuracy, cscl_supercell):

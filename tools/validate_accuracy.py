@@ -73,23 +73,17 @@ def stage2():
     import jax.numpy as jnp
 
     import torchpme_tpu as tpme
-    from torchpme_tpu.utils.neighbors import (
-        compute_distances_dense,
-        dense_neighbor_format,
-    )
+    from torchpme_tpu.ops.rspace_cells import compute_cell_list
 
     gt = np.load(OUT)
     positions, charges, cell, idx, dist, shifts, box = build()
-    dense = dense_neighbor_format(idx, dist, N, neighbor_shifts=shifts)
 
     pos = jnp.asarray(positions, jnp.float32)
     q = jnp.asarray(charges, jnp.float32)
     c = jnp.asarray(cell, jnp.float32)
-    nbr = jnp.asarray(dense["indices"])
-    mask = jnp.asarray(dense["mask"])
-    dsh = jnp.asarray(dense["shifts"])
+    clist = compute_cell_list(positions, cell, CUTOFF)
 
-    # bench-style parameter choice at 1e-4 via the PME error bound
+    # the bench fast path: cell-list real space + tiled mesh backend
     calc = tpme.PMECalculator(
         tpme.CoulombPotential(smearing=jnp.float32(SMEARING)),
         mesh_spacing=1.2,
@@ -99,8 +93,7 @@ def stage2():
     ns = calc.get_ns_mesh(c)
 
     def energy(pos):
-        d = compute_distances_dense(pos, nbr, cell=c, neighbor_shifts=dsh)
-        pot = calc(q, c, pos, nbr, d, pair_mask=mask, ns_mesh=ns)
+        pot = calc(q, c, pos, cell_list=clist, ns_mesh=ns)
         return jnp.sum(pot * q)
 
     e, grad = jax.jit(jax.value_and_grad(energy))(pos)

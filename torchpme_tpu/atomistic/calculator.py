@@ -45,6 +45,17 @@ class System:
     :param cell: ``(3, 3)`` cell matrix (rows are basis vectors).
     :param data: dict of named per-atom arrays; calculators require a
         ``"charge"`` entry of shape ``(n_atoms, n_channels)``.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> system = System(
+    ...     types=jnp.asarray([55, 17]),
+    ...     positions=jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+    ...     cell=jnp.eye(3),
+    ... ).add_data("charge", jnp.asarray([[1.0], [-1.0]]))
+    >>> len(system), system.get_data("charge").shape
+    (2, (2, 1))
     """
 
     types: Array

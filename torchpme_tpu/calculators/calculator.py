@@ -36,6 +36,22 @@ class Calculator:
         k-space part is evaluated at all.
     :param full_neighbor_list: whether the neighbor list contains each pair
         twice (full) or once (half).
+
+    Example
+    -------
+    Direct sum over a ±1 dimer at distance 1 (no periodicity):
+
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu import Calculator, CoulombPotential
+    >>> from torchpme_tpu.utils.neighbors import neighbor_list
+    >>> positions = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    >>> charges = jnp.asarray([[1.0], [-1.0]])
+    >>> idx, dist, _ = neighbor_list(positions, cutoff=1.5, periodic=False)
+    >>> calc = Calculator(CoulombPotential())
+    >>> pot = calc(charges, jnp.eye(3), positions,
+    ...            jnp.asarray(idx), jnp.asarray(dist))
+    >>> print(f"{float(jnp.sum(pot * charges)):.4f}")  # E = -1/r
+    -1.0000
     """
 
     potential: Potential
@@ -128,17 +144,55 @@ class Calculator:
 
     # -- public forward ---------------------------------------------------------
 
+    def _rspace_from_inputs(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        neighbor_indices: Array | None,
+        neighbor_distances: Array | None,
+        pair_mask: Array | None,
+        cell_list,
+    ) -> Array:
+        """Dispatch the real-space sum: neighbor list or cell list."""
+        if cell_list is not None:
+            if neighbor_indices is not None or neighbor_distances is not None:
+                raise ValueError(
+                    "Pass either a neighbor list or a `cell_list`, not both"
+                )
+            from ..ops.rspace_cells import cell_list_rspace_potentials
+
+            return cell_list_rspace_potentials(
+                lambda d: self._bare_pair_values(d, None),
+                charges,
+                positions,
+                cell,
+                cell_list,
+            )
+        if neighbor_indices is None or neighbor_distances is None:
+            raise ValueError(
+                "Provide `neighbor_indices` and `neighbor_distances`, or a "
+                "`cell_list` from compute_cell_list"
+            )
+        return self._compute_rspace(
+            charges=charges,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            pair_mask=pair_mask,
+        )
+
     def __call__(
         self,
         charges: Array,
         cell: Array,
         positions: Array,
-        neighbor_indices: Array,
-        neighbor_distances: Array,
+        neighbor_indices: Array | None = None,
+        neighbor_distances: Array | None = None,
         periodic: Array | None = None,
         node_mask: Array | None = None,
         pair_mask: Array | None = None,
         kvectors: Array | None = None,
+        cell_list=None,
     ) -> Array:
         r"""Compute the per-atom potential "energy".
 
@@ -157,6 +211,13 @@ class Calculator:
         :param kvectors: optional precomputed k-vectors (required for the
             Ewald k-space part under ``jit``/``vmap``, where mesh sizes cannot
             depend on traced cells).
+        :param cell_list: a :class:`~torchpme_tpu.ops.rspace_cells.CellList`
+            from :func:`~torchpme_tpu.ops.rspace_cells.compute_cell_list` —
+            the TPU-native alternative to a neighbor list: the real-space sum
+            runs gather-free over 27-cell windows with distances recomputed
+            differentiably from ``positions``.  Mutually exclusive with
+            ``neighbor_indices``/``neighbor_distances``; refresh it like a
+            neighbor list (stale lists poison the result with NaN).
         :return: ``(n_atoms, n_channels)`` per-atom potentials; multiply by
             charges and sum for the total energy.
         """
@@ -172,11 +233,9 @@ class Calculator:
             kvectors=kvectors,
         )
 
-        potential_sr = self._compute_rspace(
-            charges=charges,
-            neighbor_indices=neighbor_indices,
-            neighbor_distances=neighbor_distances,
-            pair_mask=pair_mask,
+        potential_sr = self._rspace_from_inputs(
+            charges, cell, positions,
+            neighbor_indices, neighbor_distances, pair_mask, cell_list,
         )
         if self.potential.smearing is None:
             return potential_sr
@@ -190,6 +249,55 @@ class Calculator:
             node_mask=node_mask,
         )
         return potential_sr + potential_lr
+
+    def energy(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        neighbor_indices: Array | None = None,
+        neighbor_distances: Array | None = None,
+        pair_mask: Array | None = None,
+        cell_list=None,
+        **kspace_kwargs,
+    ) -> Array:
+        r"""Total energy :math:`E = \sum_i q_i V_i` (scalar).
+
+        Same value as ``sum(calc(...) * charges)``; on the ``cell_list`` path
+        the real-space contraction runs in bucket order, skipping the
+        bucket→atom scatter — the fast path for jitted MD steps
+        (``jax.grad`` of this w.r.t. ``positions`` is minus the forces).
+        ``kspace_kwargs`` are forwarded to the k-space part (``ns_mesh``,
+        ``tiled_interp``, ``ns_kvectors``, ...).
+        """
+        if cell_list is not None:
+            from ..ops.rspace_cells import cell_list_rspace_energy
+
+            if neighbor_indices is not None or neighbor_distances is not None:
+                raise ValueError(
+                    "Pass either a neighbor list or a `cell_list`, not both"
+                )
+            e_sr = cell_list_rspace_energy(
+                lambda d: self._bare_pair_values(d, None),
+                charges,
+                positions,
+                cell,
+                cell_list,
+            )
+        else:
+            pot_sr = self._compute_rspace(
+                charges=charges,
+                neighbor_indices=neighbor_indices,
+                neighbor_distances=neighbor_distances,
+                pair_mask=pair_mask,
+            )
+            e_sr = jnp.sum(pot_sr * charges)
+        if self.potential.smearing is None:
+            return e_sr
+        pot_lr = self._compute_kspace(
+            charges=charges, cell=cell, positions=positions, **kspace_kwargs
+        )
+        return e_sr + jnp.sum(pot_lr * charges)
 
     # API-parity alias with the reference's nn.Module.forward
     forward = __call__

@@ -33,6 +33,22 @@ class CalculatorDipole:
     :param full_neighbor_list: half (False) or full (True) neighbor list.
     :param lr_wavelength: reciprocal-space resolution; must be set together
         with the potential's ``smearing`` (or both unset for direct mode).
+
+    Example
+    -------
+    Two parallel unit dipoles at distance 2 (direct mode,
+    :math:`E = \mu^2/r^3 = 1/8`):
+
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu import CalculatorDipole, PotentialDipole
+    >>> dipoles = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    >>> positions = jnp.asarray([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    >>> idx = jnp.asarray([[0, 1]])
+    >>> vec = positions[idx[:, 1]] - positions[idx[:, 0]]
+    >>> calc = CalculatorDipole(PotentialDipole())
+    >>> pot = calc(dipoles, jnp.eye(3) * 10, positions, idx, vec)
+    >>> print(f"{float(jnp.sum(pot * dipoles)):.4f}")
+    0.1250
     """
 
     potential: PotentialDipole

@@ -36,6 +36,23 @@ class EwaldCalculator(Calculator):
     :param lr_wavelength: spatial resolution of the reciprocal-space sum; all
         k-vectors with wavelength ≥ this value are kept.
     :param full_neighbor_list: half (False) or full (True) neighbor list.
+
+    Example
+    -------
+    CsCl Madelung constant (2.035361...):
+
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu import CoulombPotential, EwaldCalculator
+    >>> from torchpme_tpu.utils.neighbors import neighbor_list
+    >>> positions = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    >>> charges = jnp.asarray([[-1.0], [1.0]])
+    >>> cell = jnp.eye(3)
+    >>> idx, dist, _ = neighbor_list(positions, cell, cutoff=1.2)
+    >>> calc = EwaldCalculator(CoulombPotential(smearing=0.25),
+    ...                        lr_wavelength=0.15)
+    >>> pot = calc(charges, cell, positions, jnp.asarray(idx), jnp.asarray(dist))
+    >>> print(f"{float(-jnp.sum(pot * charges)):.5f}")
+    2.03536
     """
 
     lr_wavelength: float = static_field(default=0.5)
@@ -131,15 +148,17 @@ class EwaldCalculator(Calculator):
         charges: Array,
         cell: Array,
         positions: Array,
-        neighbor_indices: Array,
-        neighbor_distances: Array,
+        neighbor_indices: Array | None = None,
+        neighbor_distances: Array | None = None,
         periodic: Array | None = None,
         node_mask: Array | None = None,
         pair_mask: Array | None = None,
         kvectors: Array | None = None,
         ns_kvectors: tuple[int, int, int] | None = None,
+        cell_list=None,
     ) -> Array:
-        """Same contract as :meth:`Calculator.__call__`, plus ``ns_kvectors``:
+        """Same contract as :meth:`Calculator.__call__` (including the
+        ``cell_list`` alternative to a neighbor list), plus ``ns_kvectors``:
         static k-space extents (from :meth:`get_ns_kvectors`) that let the
         k-vectors be rebuilt from the traced cell under ``jit``/``grad`` —
         required for exact stress; a precomputed ``kvectors`` array is treated
@@ -157,11 +176,9 @@ class EwaldCalculator(Calculator):
             node_mask=node_mask,
             kvectors=kvectors,
         )
-        potential_sr = self._compute_rspace(
-            charges=charges,
-            neighbor_indices=neighbor_indices,
-            neighbor_distances=neighbor_distances,
-            pair_mask=pair_mask,
+        potential_sr = self._rspace_from_inputs(
+            charges, cell, positions,
+            neighbor_indices, neighbor_distances, pair_mask, cell_list,
         )
         potential_lr = self._compute_kspace(
             charges=charges,

@@ -32,6 +32,22 @@ class P3MCalculator(PMECalculator):
         torque, 3 dipolar force (eq. 30 of Ballenegger 2008).
     :param differential_order: finite-difference order (1–6) of the
         approximate differential operator.
+
+    Example
+    -------
+    CsCl Madelung constant (2.035361...) to mesh accuracy:
+
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu import CoulombPotential, P3MCalculator
+    >>> from torchpme_tpu.utils.neighbors import neighbor_list
+    >>> positions = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    >>> charges = jnp.asarray([[-1.0], [1.0]])
+    >>> cell = jnp.eye(3)
+    >>> idx, dist, _ = neighbor_list(positions, cell, cutoff=1.2)
+    >>> calc = P3MCalculator(CoulombPotential(smearing=0.25), mesh_spacing=0.1)
+    >>> pot = calc(charges, cell, positions, jnp.asarray(idx), jnp.asarray(dist))
+    >>> print(f"{float(-jnp.sum(pot * charges)):.3f}")
+    2.035
     """
 
     _method: str = static_field(default="P3M", kw_only=True)

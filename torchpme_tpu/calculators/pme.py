@@ -50,6 +50,22 @@ class PMECalculator(Calculator):
     :param interpolation_nodes: stencil size ``n`` per axis (``n³`` points per
         particle); values 3–7 supported for Lagrange interpolation.
     :param full_neighbor_list: half (False) or full (True) neighbor list.
+
+    Example
+    -------
+    CsCl Madelung constant (2.035361...) to mesh accuracy:
+
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu import CoulombPotential, PMECalculator
+    >>> from torchpme_tpu.utils.neighbors import neighbor_list
+    >>> positions = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    >>> charges = jnp.asarray([[-1.0], [1.0]])
+    >>> cell = jnp.eye(3)
+    >>> idx, dist, _ = neighbor_list(positions, cell, cutoff=1.2)
+    >>> calc = PMECalculator(CoulombPotential(smearing=0.25), mesh_spacing=0.1)
+    >>> pot = calc(charges, cell, positions, jnp.asarray(idx), jnp.asarray(dist))
+    >>> print(f"{float(-jnp.sum(pot * charges)):.3f}")
+    2.035
     """
 
     mesh_spacing: float = static_field(default=1.0)
@@ -235,16 +251,18 @@ class PMECalculator(Calculator):
         charges: Array,
         cell: Array,
         positions: Array,
-        neighbor_indices: Array,
-        neighbor_distances: Array,
+        neighbor_indices: Array | None = None,
+        neighbor_distances: Array | None = None,
         periodic: Array | None = None,
         node_mask: Array | None = None,
         pair_mask: Array | None = None,
         kvectors: Array | None = None,
         ns_mesh: tuple[int, int, int] | None = None,
         tiled_interp: TiledInterpolation | None = None,
+        cell_list=None,
     ) -> Array:
-        """Same contract as :meth:`Calculator.__call__`, plus ``ns_mesh``
+        """Same contract as :meth:`Calculator.__call__` (including the
+        ``cell_list`` alternative to a neighbor list), plus ``ns_mesh``
         (a static mesh shape enabling jit/grad-through-cell; compute it once
         eagerly with :meth:`get_ns_mesh`) and ``tiled_interp`` (a reusable
         tile bucketing from :func:`compute_tiled_interpolation` — the MD fast
@@ -268,11 +286,9 @@ class PMECalculator(Calculator):
             node_mask=node_mask,
             kvectors=kvectors,
         )
-        potential_sr = self._compute_rspace(
-            charges=charges,
-            neighbor_indices=neighbor_indices,
-            neighbor_distances=neighbor_distances,
-            pair_mask=pair_mask,
+        potential_sr = self._rspace_from_inputs(
+            charges, cell, positions,
+            neighbor_indices, neighbor_distances, pair_mask, cell_list,
         )
         potential_lr = self._compute_kspace(
             charges=charges,

@@ -150,6 +150,19 @@ class KSpaceFilter:
     Mirrors the reference API (``update`` / ``forward``,
     ``lib/kspace_filter.py:37-197``); jitted calculators use
     :func:`compute_kspace_filter` + :func:`apply_kspace_filter` directly.
+
+    Example
+    -------
+    A unit kernel with the ``ortho`` norm pair is an exact round-trip:
+
+    >>> import jax.numpy as jnp
+    >>> class UnitKernel:
+    ...     def kernel_from_k_sq(self, k_sq):
+    ...         return jnp.ones_like(k_sq)
+    >>> kf = KSpaceFilter(jnp.eye(3), (4, 4, 4), UnitKernel())
+    >>> field = jnp.arange(64.0).reshape(1, 4, 4, 4)
+    >>> print(jnp.allclose(kf(field), field, atol=1e-12))
+    True
     """
 
     _VALID_NORMS = ("ortho", "forward", "backward")

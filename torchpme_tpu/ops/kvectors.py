@@ -47,6 +47,12 @@ def get_ns_mesh(cell, mesh_spacing: float) -> tuple[int, int, int]:
     :param cell: concrete ``(3, 3)`` cell matrix (rows are basis vectors).
     :param mesh_spacing: target distance between mesh planes.
     :return: static tuple ``(nx, ny, nz)`` of Python ints.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> get_ns_mesh(jnp.eye(3) * 10.0, mesh_spacing=1.0)
+    (32, 32, 32)
     """
     basis_norms = _concrete_cell_norms(cell)
     ns_approx = 2 * basis_norms / mesh_spacing + 1

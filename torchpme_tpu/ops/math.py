@@ -32,6 +32,12 @@ def exp1(x: Array) -> Array:
     Thin alias of :func:`jax.scipy.special.exp1`, which is differentiable
     (:math:`dE_1/dx = -e^{-x}/x`) — the reference needed a hand-written
     ``autograd.Function`` for this (``lib/math.py:16-76``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> print(f"{float(exp1(jnp.asarray(1.0))):.6f}")  # E1(1) = 0.219384...
+    0.219384
     """
     return _jsp.exp1(x)
 

@@ -286,6 +286,18 @@ class MeshInterpolator:
     ``mesh_interpolator.py:4-457``) for eager and exploratory use (e.g. LODE
     feature pipelines).  Jitted calculator internals use the pure functions
     directly.
+
+    Example
+    -------
+    Spreading conserves total charge for every interpolation order:
+
+    >>> import jax.numpy as jnp
+    >>> mi = MeshInterpolator(jnp.eye(3) * 4.0, (8, 8, 8),
+    ...                       interpolation_nodes=4, method="Lagrange")
+    >>> _ = mi.compute_weights(jnp.asarray([[0.3, 1.7, 2.2], [3.1, 0.4, 1.1]]))
+    >>> rho = mi.points_to_mesh(jnp.asarray([[1.0], [-2.0]]))
+    >>> print(f"{float(jnp.sum(rho)):.6f}")
+    -1.000000
     """
 
     def __init__(

@@ -114,6 +114,20 @@ def compute_tiled_interpolation(
     Same numerical contract as :func:`torchpme_tpu.ops.mesh.compute_interpolation`
     (grid centering parity rule, wrapped indices), reorganized for the tiled
     MXU execution path.
+
+    Example
+    -------
+    The tiled spread agrees with the scatter reference and conserves charge:
+
+    >>> import jax.numpy as jnp
+    >>> positions = jnp.asarray([[0.3, 1.7, 2.2], [3.1, 0.4, 1.1]])
+    >>> charges = jnp.asarray([[1.0], [-2.0]])
+    >>> interp = compute_tiled_interpolation(
+    ...     positions, jnp.eye(3) / 4.0, (16, 16, 16), 4, "Lagrange"
+    ... )
+    >>> rho = tiled_points_to_mesh(interp, charges)
+    >>> print(f"{float(jnp.sum(rho)):.6f}")
+    -1.000000
     """
     ns = tuple(int(n) for n in ns)
     nodes = int(interpolation_nodes)

@@ -106,6 +106,14 @@ class CubicSpline:
     Counterpart of reference ``lib/splines.py:4-40``.  Construct with
     :meth:`from_points`; evaluation is a pure function of the pytree leaves,
     so instances can be passed through ``jit`` / ``vmap`` / ``grad``.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> x = jnp.linspace(0.0, 2.0 * jnp.pi, 200)
+    >>> spline = CubicSpline.from_points(x, jnp.sin(x))
+    >>> print(f"{float(spline(jnp.asarray(jnp.pi / 2))):.5f}")
+    1.00000
     """
 
     x_points: Array

@@ -56,7 +56,14 @@ __all__ = [
 
 
 def pad_to_multiple(array, multiple: int, axis: int = 0, fill=0):
-    """Right-pad ``array`` along ``axis`` to a multiple of ``multiple``."""
+    """Right-pad ``array`` along ``axis`` to a multiple of ``multiple``.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> pad_to_multiple(jnp.ones((5, 2)), 4).shape
+    (8, 2)
+    """
     array = jnp.asarray(array)
     n = array.shape[axis]
     target = ((n + multiple - 1) // multiple) * multiple

@@ -29,6 +29,19 @@ class CombinedPotential(Potential):
         optimizes over them.
     :param smearing: must be set iff the member potentials are range-separated
         (used by calculators to pick their SR/LR split bookkeeping).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu.potentials import CoulombPotential, InversePowerLawPotential
+    >>> combined = CombinedPotential(
+    ...     [CoulombPotential(smearing=1.0),
+    ...      InversePowerLawPotential(exponent=2, smearing=1.0)],
+    ...     initial_weights=jnp.asarray([2.0, 1.0]),
+    ...     smearing=1.0,
+    ... )
+    >>> print(f"{float(combined.from_dist(jnp.asarray(2.0))):.4f}")  # 2/r + 1/r²
+    1.2500
     """
 
     def __init__(

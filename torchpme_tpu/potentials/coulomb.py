@@ -64,6 +64,17 @@ class CoulombPotential(Potential):
     * long range :math:`\mathrm{erf}(r/\sigma\sqrt2)/r`,
     * Fourier kernel :math:`4\pi e^{-\sigma^2 k^2/2}/k^2` (zero at k = 0,
       which implicitly enforces charge neutrality).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> pot = CoulombPotential(smearing=1.0)
+    >>> r = jnp.asarray([1.0, 2.0])
+    >>> print(jnp.allclose(pot.sr_from_dist(r) + pot.lr_from_dist(r),
+    ...                    pot.from_dist(r)))
+    True
+    >>> print(f"{float(pot.from_dist(jnp.asarray(2.0))):.3f}")
+    0.500
     """
 
     def from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:

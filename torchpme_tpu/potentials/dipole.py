@@ -33,6 +33,18 @@ class PotentialDipole:
     :param epsilon: dielectric constant of the embedding medium (0 =
         vacuum/"tin-foil" boundary term disabled).
     :param prefactor: global unit prefactor.
+
+    Example
+    -------
+    Two parallel unit dipoles a distance 2 apart along x (so
+    :math:`V = (\mu_i\cdot\mu_j)/r^3 = 1/8` for dipoles along z):
+
+    >>> import jax.numpy as jnp
+    >>> pot = PotentialDipole()
+    >>> rij = jnp.asarray([[2.0, 0.0, 0.0]])
+    >>> K = pot.from_dist(rij)  # (1, 3, 3) tensor kernel
+    >>> print(f"{float(K[0, 2, 2]):.4f}")
+    0.1250
     """
 
     smearing: Array | float | None = None

@@ -34,6 +34,17 @@ class InversePowerLawPotential(Potential):
     For ``p > 3`` the :math:`k \to 0` limit is finite and assigned exactly;
     for ``p ≤ 3`` the k=0 value is zeroed, which corresponds to adding a
     uniform neutralizing background.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> pot = InversePowerLawPotential(exponent=2, smearing=1.0)
+    >>> print(f"{float(pot.from_dist(jnp.asarray(2.0))):.4f}")  # 1/r²
+    0.2500
+    >>> r = jnp.asarray([0.7, 1.8])
+    >>> print(jnp.allclose(pot.sr_from_dist(r) + pot.lr_from_dist(r),
+    ...                    pot.from_dist(r)))
+    True
     """
 
     exponent: int = static_field(default=1)

@@ -45,6 +45,17 @@ class Potential:
     :param exclusion_degree: exponent of the raised-cosine cutoff.
     :param prefactor: global prefactor, e.g. an electrostatics unit constant
         (see :mod:`torchpme_tpu.prefactors`).
+
+    Example
+    -------
+    The raised-cosine exclusion window is 1 at the origin, 1/2 when the
+    cosine hits zero, and 0 beyond the exclusion radius:
+
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu.potentials import CoulombPotential
+    >>> pot = CoulombPotential(smearing=1.0, exclusion_radius=2.0)
+    >>> print(jnp.round(pot.f_cutoff(jnp.asarray([0.0, 1.0, 2.5])), 4))
+    [1.  0.5 0. ]
     """
 
     smearing: Array | float | None = None

@@ -44,6 +44,20 @@ class SplinePotential(Potential):
     :param yhat_at_zero: value used for :math:`k \to 0` in the kernel.
     :param smearing / exclusion_radius / exclusion_degree / prefactor: see
         :class:`Potential`.
+
+    Example
+    -------
+    Spline the long-range part of a Coulomb potential and evaluate it back:
+
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu.potentials import CoulombPotential
+    >>> coulomb = CoulombPotential(smearing=1.0)
+    >>> r = jnp.linspace(0.1, 20.0, 600)
+    >>> spline = SplinePotential(r, coulomb.lr_from_dist(r), reciprocal=True)
+    >>> x = jnp.asarray([0.5, 2.0, 5.0])
+    >>> print(jnp.allclose(spline.lr_from_dist(x), coulomb.lr_from_dist(x),
+    ...                    atol=1e-5))
+    True
     """
 
     def __init__(

@@ -2,6 +2,14 @@
 
 Counterpart of ``/root/reference/src/torchpme/prefactors.py``; pass one of
 these as the ``prefactor`` of any potential.
+
+Example
+-------
+>>> from torchpme_tpu import CoulombPotential, prefactors
+>>> import jax.numpy as jnp
+>>> pot = CoulombPotential(prefactor=prefactors.eV_A)
+>>> print(f"{float(pot.from_dist(jnp.asarray(1.0))):.4f}")  # eV at r = 1 Å
+14.3996
 """
 
 #: Conversion factor from Gaussian units to SI units

@@ -1,7 +1,13 @@
 from .ewald import EwaldErrorBounds, tune_ewald
 from .p3m import P3MErrorBounds, tune_p3m
 from .pme import PMEErrorBounds, tune_pme
-from .tuner import GridSearchTuner, TunerBase, TuningErrorBounds, TuningTimings
+from .tuner import (
+    GridSearchTuner,
+    TunerBase,
+    TuningErrorBounds,
+    TuningTimings,
+    tune_over_cutoffs,
+)
 
 __all__ = [
     "EwaldErrorBounds",
@@ -12,6 +18,7 @@ __all__ = [
     "TuningErrorBounds",
     "TuningTimings",
     "tune_ewald",
+    "tune_over_cutoffs",
     "tune_p3m",
     "tune_pme",
 ]

@@ -26,7 +26,13 @@ import numpy as np
 from ..potentials import InversePowerLawPotential
 from ..utils.validation import validate_parameters
 
-__all__ = ["TuningErrorBounds", "TunerBase", "GridSearchTuner", "TuningTimings"]
+__all__ = [
+    "TuningErrorBounds",
+    "TunerBase",
+    "GridSearchTuner",
+    "TuningTimings",
+    "tune_over_cutoffs",
+]
 
 
 class TuningErrorBounds:
@@ -133,6 +139,78 @@ class TunerBase:
             jnp.asarray(np.asarray(neighbor_indices)[keep]),
             jnp.asarray(d[keep]),
         )
+
+
+def tune_over_cutoffs(
+    tune_fn,
+    charges,
+    cell,
+    positions,
+    cutoffs,
+    neighbor_indices,
+    neighbor_distances,
+    **tune_kwargs,
+):
+    r"""Jointly tune the real-space ``cutoff`` with the k-space parameters.
+
+    The reference treats the cutoff as a fixed hyperparameter
+    (``/root/reference/src/torchpme/tuning/tuner.py:123-147`` inverts the
+    error at a given cutoff); this convenience sweep runs a ``tune_*``
+    function at each candidate cutoff and returns the wall-clock-fastest
+    combination.  The provided neighbor list must be computed at
+    ``max(cutoffs)`` — each trial filters it down (like the reference's
+    ``filter_neighbors``), so only one neighbor-list build is needed.
+
+    :param tune_fn: one of :func:`~torchpme_tpu.tuning.tune_ewald`,
+        :func:`~torchpme_tpu.tuning.tune_pme`,
+        :func:`~torchpme_tpu.tuning.tune_p3m`.
+    :param cutoffs: iterable of candidate cutoffs, each ≤ the cutoff the
+        neighbor list was built with.
+    :param tune_kwargs: forwarded to ``tune_fn`` (accuracy, grid bounds, ...).
+    :return: ``(cutoff, smearing, kspace_params, seconds_per_step)`` of the
+        fastest accurate combination.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> from torchpme_tpu.tuning import tune_ewald, tune_over_cutoffs
+    >>> from torchpme_tpu.utils.neighbors import neighbor_list
+    >>> positions = jnp.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    >>> charges = jnp.asarray([[1.0], [-1.0]])
+    >>> cell = jnp.eye(3)
+    >>> idx, dist, _ = neighbor_list(positions, cell, cutoff=0.49)
+    >>> cutoff, smearing, params, timing = tune_over_cutoffs(
+    ...     tune_ewald, charges, cell, positions, [0.4, 0.49],
+    ...     jnp.asarray(idx), jnp.asarray(dist), ns_lo=4, ns_hi=6,
+    ... )
+    >>> cutoff in (0.4, 0.49) and smearing > 0 and "lr_wavelength" in params
+    True
+    """
+    import warnings
+
+    best = None
+    for cutoff in cutoffs:
+        with warnings.catch_warnings():
+            # an individual cutoff failing its accuracy screen is fine as
+            # long as some cutoff passes; the sweep raises when all fail
+            warnings.simplefilter("ignore", UserWarning)
+            smearing, params, timing = tune_fn(
+                charges,
+                cell,
+                positions,
+                cutoff=float(cutoff),
+                neighbor_indices=neighbor_indices,
+                neighbor_distances=neighbor_distances,
+                **tune_kwargs,
+            )
+        if math.isfinite(timing) and (best is None or timing < best[3]):
+            best = (float(cutoff), smearing, params, timing)
+    if best is None:
+        raise ValueError(
+            "No (cutoff, parameters) combination met the accuracy requirement; "
+            "widen the candidate grids or relax the accuracy."
+        )
+    return best
 
 
 class TuningTimings:

@@ -46,13 +46,18 @@ def _brute_force(
     periodic: bool,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = positions.shape[0]
+    wrap = None
     if cell is None or not periodic:
         shift_list = [np.zeros(3, dtype=np.int64)]
         cell_mat = np.zeros((3, 3))
     else:
         cell_mat = np.asarray(cell, dtype=np.float64)
-        # number of periodic images needed per axis: cutoff / plane spacing
         inv = np.linalg.inv(cell_mat)
+        # wrap positions into the cell first: the ±n_img image window below
+        # assumes in-cell coordinates (shifts are corrected on output)
+        wrap = np.floor(positions @ inv)
+        positions = positions - wrap @ cell_mat
+        # number of periodic images needed per axis: cutoff / plane spacing
         plane_dist = 1.0 / np.linalg.norm(inv, axis=0)
         n_img = np.ceil(cutoff / plane_dist).astype(int)
         ranges = [np.arange(-k, k + 1) for k in n_img]
@@ -79,6 +84,9 @@ def _brute_force(
     j = np.concatenate(all_j)
     d = np.concatenate(all_d)
     s = np.concatenate(all_s)
+    if wrap is not None:
+        # shifts refer to the *input* positions: undo the internal wrap
+        s = s - wrap[j].astype(np.int64) + wrap[i].astype(np.int64)
     return i, j, d, s
 
 
@@ -122,6 +130,16 @@ def neighbor_list(
     :return: ``(indices (P, 2) int, distances (P,), shifts (P, 3) int)`` as
         numpy arrays; distance of pair ``p`` is
         ``|pos[j] - pos[i] + shifts[p] @ cell|``.
+
+    Example
+    -------
+    The CsCl dimer has 8 nearest images at √3/2:
+
+    >>> import numpy as np
+    >>> positions = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    >>> idx, dist, shifts = neighbor_list(positions, np.eye(3), cutoff=0.9)
+    >>> print(idx.shape[0], f"{dist.min():.4f}")
+    8 0.8660
     """
     positions = np.asarray(positions, dtype=np.float64)
     cell_np = None if cell is None else np.asarray(cell, dtype=np.float64)
@@ -303,13 +321,16 @@ def compute_distances_dense_symmetric(
         return jnp.where(sq == 0.0, 1.0, jnp.sqrt(safe_sq))
 
     def _fwd(positions, cell):
-        return _dist(positions, cell), (positions, cell)
-
-    def _bwd(res, g):
-        positions, cell = res
+        # save the gathered vectors: re-gathering in the backward would pay
+        # the (N·cap) random row gather — the TPU-expensive op here — twice
         vectors = _vectors(positions, cell)
         sq = jnp.sum(vectors**2, axis=-1)
-        safe_d = jnp.where(sq == 0.0, 1.0, jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq)))
+        safe_sq = jnp.where(sq == 0.0, 1.0, sq)
+        d = jnp.where(sq == 0.0, 1.0, jnp.sqrt(safe_sq))
+        return d, (vectors, d)
+
+    def _bwd(res, g):
+        vectors, safe_d = res
         r_hat = vectors / safe_d[..., None]
         # mirrored-pair identity: scatter half == dense half → factor 2
         grad_pos = -2.0 * jnp.sum(g[..., None] * r_hat, axis=1)

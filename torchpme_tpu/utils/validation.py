@@ -64,33 +64,36 @@ def validate_parameters(
             f"`positions` class ({dtype})"
         )
 
-    if neighbor_distances.ndim == 2:
-        # dense per-atom layout: indices/distances both (n_atoms, capacity)
-        if neighbor_indices.shape != neighbor_distances.shape or (
-            neighbor_indices.shape[0] != num_atoms
-        ):
+    if neighbor_indices is None and neighbor_distances is None:
+        pass  # cell-list mode: the real-space sum needs no neighbor list
+    else:
+        if neighbor_distances.ndim == 2:
+            # dense per-atom layout: indices/distances both (n_atoms, capacity)
+            if neighbor_indices.shape != neighbor_distances.shape or (
+                neighbor_indices.shape[0] != num_atoms
+            ):
+                raise ValueError(
+                    "dense neighbor layout requires `neighbor_indices` and "
+                    "`neighbor_distances` of identical shape [n_atoms, capacity], "
+                    f"got {list(neighbor_indices.shape)} and "
+                    f"{list(neighbor_distances.shape)} for {num_atoms} atoms"
+                )
+        elif neighbor_indices.ndim != 2 or neighbor_indices.shape[1] != 2:
             raise ValueError(
-                "dense neighbor layout requires `neighbor_indices` and "
-                "`neighbor_distances` of identical shape [n_atoms, capacity], "
-                f"got {list(neighbor_indices.shape)} and "
-                f"{list(neighbor_distances.shape)} for {num_atoms} atoms"
+                "neighbor_indices is expected to have shape [num_neighbors, 2]"
+                f", but got {list(neighbor_indices.shape)} for one structure"
             )
-    elif neighbor_indices.ndim != 2 or neighbor_indices.shape[1] != 2:
-        raise ValueError(
-            "neighbor_indices is expected to have shape [num_neighbors, 2]"
-            f", but got {list(neighbor_indices.shape)} for one structure"
-        )
-    elif neighbor_distances.shape != neighbor_indices[:, 0].shape:
-        raise ValueError(
-            "`neighbor_indices` and `neighbor_distances` need to have shapes "
-            "[num_neighbors, 2] and [num_neighbors], but got "
-            f"{list(neighbor_indices.shape)} and {list(neighbor_distances.shape)}"
-        )
-    if neighbor_distances.dtype != dtype:
-        raise TypeError(
-            f"type of `neighbor_distances` ({neighbor_distances.dtype}) must be "
-            f"same as that of the `positions` class ({dtype})"
-        )
+        elif neighbor_distances.shape != neighbor_indices[:, 0].shape:
+            raise ValueError(
+                "`neighbor_indices` and `neighbor_distances` need to have shapes "
+                "[num_neighbors, 2] and [num_neighbors], but got "
+                f"{list(neighbor_indices.shape)} and {list(neighbor_distances.shape)}"
+            )
+        if neighbor_distances.dtype != dtype:
+            raise TypeError(
+                f"type of `neighbor_distances` ({neighbor_distances.dtype}) must be "
+                f"same as that of the `positions` class ({dtype})"
+            )
 
     if periodic is not None and tuple(periodic.shape) != (3,):
         raise ValueError(
@@ -98,7 +101,7 @@ def validate_parameters(
             f"tensor with shape {list(periodic.shape)}"
         )
 
-    if pair_mask is not None:
+    if pair_mask is not None and neighbor_distances is not None:
         if pair_mask.shape != neighbor_distances.shape:
             raise ValueError(
                 "`pair_mask` must have the same shape as `neighbor_distances`, "
