@@ -16,6 +16,7 @@ import pytest
 
 import torchpme_tpu as tpme
 from torchpme_tpu.ops.rspace_cells import (
+    cell_list_rspace_energy,
     cell_list_rspace_potentials,
     compute_cell_list,
 )
@@ -76,6 +77,142 @@ def test_gradients_match_neighbor_list(triclinic):
     g2 = jax.grad(e_ref, argnums=(0, 1, 2))(positions, charges, cell)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_energy_custom_vjp_matches_autodiff(triclinic):
+    """The analytic-force custom VJP of the energy fast path must reproduce
+    the autodiff gradients of the per-atom-potentials path for positions,
+    charges, the cell, AND potential parameters (trainable smearing)."""
+    positions, charges, cell = _system(9, 48, 7.5, triclinic)
+    cutoff = 2.9
+    clist = compute_cell_list(positions, cell, cutoff)
+
+    def e_fast(p, q, c, smearing):
+        pot = tpme.CoulombPotential(smearing=smearing)
+        return cell_list_rspace_energy(pot, q, p, c, clist)
+
+    def e_ref(p, q, c, smearing):
+        pot = tpme.CoulombPotential(smearing=smearing)
+        return jnp.sum(cell_list_rspace_potentials(pot, q, p, c, clist) * q)
+
+    args = (positions, charges, cell, jnp.asarray(1.1))
+    e1, g1 = jax.jit(jax.value_and_grad(e_fast, argnums=(0, 1, 2, 3)))(*args)
+    e2, g2 = jax.value_and_grad(e_ref, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(e1), float(e2), atol=1e-12)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_energy_callable_and_direct_mode():
+    """Plain-callable potentials ride the autodiff fallback; direct-mode
+    (no-smearing) Potentials use the full 1/r pair term — both must match
+    the corresponding potentials-path totals."""
+    positions, charges, cell = _system(10, 36, 7.0, False)
+    cutoff = 2.5
+    clist = compute_cell_list(positions, cell, cutoff)
+    fn = lambda d: jnp.exp(-(d**2))  # noqa: E731
+    e = cell_list_rspace_energy(fn, charges, positions, cell, clist)
+    ref = jnp.sum(cell_list_rspace_potentials(fn, charges, positions, cell, clist) * charges)
+    np.testing.assert_allclose(float(e), float(ref), atol=1e-12)
+
+    direct = tpme.CoulombPotential()  # no smearing: full 1/r
+    e_d = cell_list_rspace_energy(direct, charges, positions, cell, clist)
+    ref_d = jnp.sum(
+        cell_list_rspace_potentials(direct, charges, positions, cell, clist) * charges
+    )
+    np.testing.assert_allclose(float(e_d), float(ref_d), atol=1e-12)
+
+
+def test_energy_custom_vjp_stale_poisons_gradients():
+    positions, charges, cell = _system(11, 40, 7.0, False)
+    pot = tpme.CoulombPotential(smearing=1.0)
+    clist = compute_cell_list(positions, cell, 2.5)
+    drifted = positions.at[0].add(jnp.asarray([3.5, 0.0, 0.0]))
+    e, g = jax.jit(
+        jax.value_and_grad(
+            lambda p: cell_list_rspace_energy(pot, charges, p, cell, clist)
+        )
+    )(drifted)
+    assert bool(jnp.isnan(e))
+    assert bool(jnp.all(jnp.isnan(g)))
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+@pytest.mark.parametrize("capacity", [8, 16])
+def test_spill_matches_neighbor_list(triclinic, capacity):
+    """A tight capacity spills overflow atoms into the extras side-list; the
+    result (potentials path AND energy fast path, values AND gradients) must
+    still match the neighbor-list sum exactly."""
+    positions, charges, cell = _system(12, 700, 9.0, triclinic)
+    cutoff = 2.2  # plane distance ≥ 2·cutoff so spilling is allowed
+    clist = compute_cell_list(positions, cell, cutoff, capacity=capacity, spill=True)
+    assert clist.extra_index is not None, "capacity chosen too high to spill"
+    n_extra = int(jnp.sum(clist.extra_mask))
+    assert n_extra > 0
+
+    idx, dist, _ = neighbor_list(
+        np.asarray(positions), np.asarray(cell), cutoff, full_list=True
+    )
+    pot = tpme.CoulombPotential(smearing=1.0)
+    calc = tpme.EwaldCalculator(pot, lr_wavelength=1.0, full_neighbor_list=True)
+    ref = calc._compute_rspace(charges, jnp.asarray(idx), jnp.asarray(dist))
+    out = jax.jit(
+        lambda p: cell_list_rspace_potentials(pot, charges, p, cell, clist)
+    )(positions)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+    # energy fast path + custom-VJP gradients against the potentials path
+    def e_fast(p, q, c):
+        return cell_list_rspace_energy(pot, q, p, c, clist)
+
+    def e_ref(p, q, c):
+        return jnp.sum(cell_list_rspace_potentials(pot, q, p, c, clist) * q)
+
+    e1, g1 = jax.jit(jax.value_and_grad(e_fast, argnums=(0, 1, 2)))(
+        positions, charges, cell
+    )
+    e2, g2 = jax.value_and_grad(e_ref, argnums=(0, 1, 2))(positions, charges, cell)
+    np.testing.assert_allclose(float(e1), float(e2), atol=1e-12)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_spill_auto_capacity_and_validation():
+    positions, charges, cell = _system(13, 700, 9.0, False)
+    # auto capacity may or may not spill; forcing spill at tiny capacity works
+    clist = compute_cell_list(positions, cell, 2.2)
+    counts = np.bincount(
+        np.concatenate(
+            [
+                np.asarray(clist.atom_index)[np.asarray(clist.slot_mask)],
+                np.asarray(clist.extra_index)[np.asarray(clist.extra_mask)]
+                if clist.extra_index is not None
+                else np.empty(0, dtype=np.int64),
+            ]
+        ),
+        minlength=len(positions),
+    )
+    np.testing.assert_array_equal(counts, 1)  # every atom placed exactly once
+    # spilling requires min-image validity (plane ≥ 2·cutoff)
+    with pytest.raises(ValueError, match="spill requires"):
+        compute_cell_list(positions, cell, 4.6, capacity=8, spill=True)
+    # explicit capacity without spill keeps the hard error
+    with pytest.raises(ValueError, match="capacity"):
+        compute_cell_list(positions, cell, 2.2, capacity=8)
+
+
+def test_stale_extra_poisons():
+    positions, charges, cell = _system(14, 700, 9.0, False)
+    pot = tpme.CoulombPotential(smearing=1.0)
+    clist = compute_cell_list(positions, cell, 2.2, capacity=8, spill=True)
+    assert clist.extra_index is not None
+    victim = int(np.asarray(clist.extra_index)[np.asarray(clist.extra_mask)][0])
+    drifted = positions.at[victim].add(jnp.asarray([3.0, 0.0, 0.0]))
+    e = jax.jit(
+        lambda p: cell_list_rspace_energy(pot, charges, p, cell, clist)
+    )(drifted)
+    assert bool(jnp.isnan(e)), "stale extra atom not detected"
 
 
 def test_calculator_accepts_cell_list():

@@ -277,12 +277,10 @@ class Calculator:
                 raise ValueError(
                     "Pass either a neighbor list or a `cell_list`, not both"
                 )
+            # pass the potential itself (not a closure): the cell-list module
+            # recognizes it and engages the analytic-force custom VJP
             e_sr = cell_list_rspace_energy(
-                lambda d: self._bare_pair_values(d, None),
-                charges,
-                positions,
-                cell,
-                cell_list,
+                self.potential, charges, positions, cell, cell_list
             )
         else:
             pot_sr = self._compute_rspace(
