@@ -1,5 +1,7 @@
 """Pallas mesh kernels ≡ XLA tiled backend (interpret mode on CPU),
-including the custom-VJP gradients through positions and charges."""
+including the custom-VJP gradients through positions and charges —
+parametrized over charge channels and non-lane-aligned z extents
+(multi-channel LODE-style spreading rides the same kernels)."""
 
 import jax
 import jax.numpy as jnp
@@ -14,23 +16,24 @@ from torchpme_tpu.ops.mesh_tiled import (
 from torchpme_tpu.ops.pallas.mesh_pallas import supports_pallas
 
 
-def make_system(ns, n_atoms, seed=0):
+def make_system(ns, n_atoms, n_channels=1, seed=0):
     rng = np.random.default_rng(seed)
     cell = jnp.asarray(np.diag([5.0, 5.0, 20.0]), jnp.float32)
     positions = jnp.asarray(
         rng.uniform(0, 1, (n_atoms, 3)) @ np.asarray(cell), jnp.float32
     )
-    charges = jnp.asarray(rng.normal(size=(n_atoms, 1)), jnp.float32)
+    charges = jnp.asarray(rng.normal(size=(n_atoms, n_channels)), jnp.float32)
     return cell, positions, charges
 
 
 @pytest.mark.parametrize("nodes", [3, 4, 5])
-def test_pallas_matches_xla(nodes):
-    ns = (16, 16, 128)
-    cell, positions, charges = make_system(ns, 60)
+@pytest.mark.parametrize("n_channels,nz", [(1, 128), (3, 128), (2, 96)])
+def test_pallas_matches_xla(nodes, n_channels, nz):
+    ns = (16, 16, nz)
+    cell, positions, charges = make_system(ns, 60, n_channels)
     inv = jnp.linalg.inv(cell)
     interp = compute_tiled_interpolation(positions, inv, ns, nodes, "Lagrange")
-    assert supports_pallas(interp, 1, jnp.float32)
+    assert supports_pallas(interp, n_channels, jnp.float32)
 
     rho_x = tiled_points_to_mesh(interp, charges, impl="xla")
     rho_p = tiled_points_to_mesh(interp, charges, impl="pallas")
@@ -43,9 +46,10 @@ def test_pallas_matches_xla(nodes):
     np.testing.assert_allclose(g_p, g_x, atol=1e-6)
 
 
-def test_pallas_custom_vjp_matches_xla_autodiff():
-    ns, nodes = (16, 16, 128), 5
-    cell, positions, charges = make_system(ns, 48)
+@pytest.mark.parametrize("n_channels,nz", [(1, 128), (2, 96)])
+def test_pallas_custom_vjp_matches_xla_autodiff(n_channels, nz):
+    ns, nodes = (16, 16, nz), 5
+    cell, positions, charges = make_system(ns, 48, n_channels)
     inv = jnp.linalg.inv(cell)
 
     def make_loss(impl):
@@ -71,14 +75,16 @@ def test_supports_pallas_gates():
         positions, jnp.linalg.inv(cell), ns, 4, "Lagrange"
     )
     assert supports_pallas(interp, 1, jnp.float32)
-    assert not supports_pallas(interp, 2, jnp.float32)  # multi-channel
+    assert supports_pallas(interp, 2, jnp.float32)  # multi-channel works
     assert not supports_pallas(interp, 1, jnp.float64)  # dtype
-    bad_z = compute_tiled_interpolation(
+    odd_z = compute_tiled_interpolation(
         positions, jnp.linalg.inv(cell), (16, 16, 64), 4, "Lagrange"
     )
-    assert not supports_pallas(bad_z, 1, jnp.float32)  # z not lane-aligned
+    assert supports_pallas(odd_z, 1, jnp.float32)  # any z extent works
 
     from torchpme_tpu.ops.mesh_tiled import tiled_points_to_mesh
 
     with pytest.raises(ValueError, match="Pallas mesh kernels require"):
-        tiled_points_to_mesh(bad_z, jnp.ones((20, 1), jnp.float32), impl="pallas")
+        tiled_points_to_mesh(
+            odd_z, jnp.ones((20, 1), jnp.float64), impl="pallas"
+        )

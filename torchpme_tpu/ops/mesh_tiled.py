@@ -345,8 +345,8 @@ def _use_pallas(interp: TiledInterpolation, n_channels: int, dtype, impl: str) -
 
     if not supports_pallas(interp, n_channels, dtype):
         raise ValueError(
-            "Pallas mesh kernels require a single f32 channel and a z extent "
-            "that is a multiple of 128"
+            "Pallas mesh kernels require float32 data and a sublane-aligned "
+            "tile capacity (multiple of 8)"
         )
     return True
 
@@ -376,9 +376,11 @@ def tiled_points_to_mesh(
     if _use_pallas(interp, n_ch, particle_weights.dtype, impl):
         from .pallas.mesh_pallas import spread_tiles
 
-        tiles = spread_tiles(interp, b_q[:, :, 0])
+        # pallas fields are channel-major on the lane axis: (T, E², C·nz)
+        tiles = spread_tiles(interp, b_q)
+        tiles = tiles.reshape(n_tiles, extent, extent, n_ch, nz)
         return _fold_tiles_to_mesh(
-            tiles.reshape(n_tiles, extent, extent, nz, 1), interp.ns, interp.nodes
+            jnp.moveaxis(tiles, 3, 4), interp.ns, interp.nodes
         )
 
     wxy, wz = _dense_weight_factors(interp)
@@ -415,11 +417,15 @@ def tiled_mesh_to_points(
     if _use_pallas(interp, n_ch, mesh_vals.dtype, impl):
         from .pallas.mesh_pallas import gather_tiles
 
-        per_slot = gather_tiles(
-            interp, tiles.reshape(n_tiles, extent * extent, nz)
-        ).reshape(n_tiles * capacity, 1)
+        # pallas fields are channel-major on the lane axis: (T, E², C·nz)
+        tiles_cz = jnp.moveaxis(tiles, 4, 3).reshape(
+            n_tiles, extent * extent, n_ch * nz
+        )
+        per_slot = gather_tiles(interp, tiles_cz, n_ch).reshape(
+            n_tiles * capacity, n_ch
+        )
         per_slot = jnp.concatenate(
-            [per_slot, jnp.zeros((1, 1), per_slot.dtype)], axis=0
+            [per_slot, jnp.zeros((1, n_ch), per_slot.dtype)], axis=0
         )
         return per_slot[interp.slot_of_atom]
     wxy, wz = _dense_weight_factors(interp)

@@ -10,17 +10,21 @@ Three kernels over a ``(n_tiles,)`` grid (one program per 8×8 xy mesh-column
 tile; see ``mesh_tiled.py`` for the bucketing scheme):
 
 * ``spread``: per-slot charges → local tile fields
-  ``(E², nz) = (E², K) @ (K, nz)``;
+  ``(E², C·nz) = (E², K) @ (K, C·nz)``;
 * ``gather``: local tile fields → per-slot values (the exact transpose,
   same shapes);
 * ``wgrad``: the weight-cotangent of the shared bilinear form
-  ``S(w; q, F) = Σ q_k w_x w_y w_z F_{xyz}`` — used by the custom VJPs of
-  both spread (``F = ct_tiles``) and gather (``q = ct_out``), which makes
-  the pair fully differentiable without ever materializing dense weights.
+  ``S(w; q, F) = Σ_c Σ_k q_kc w_x w_y w_z F_{xyz,c}`` — used by the custom
+  VJPs of both spread (``F = ct_tiles``) and gather (``q = ct_out``), which
+  makes the pair fully differentiable without materializing dense weights.
 
-Single charge channel, float32 only (the production fast path); the XLA
-tiled backend remains the general fallback.  ``interpret=True`` runs the
-kernels on CPU for correctness tests.
+Charge channels ride the lane axis as channel-major ``C·nz`` blocks (built
+by lane *concatenation* — Mosaic supports that but not minor-dim vector
+reshapes), so multi-channel LODE-style spreading and arbitrary ``nz`` both
+work (non-128-multiple lanes are padded by Mosaic); charges enter as
+``(C, K)`` blocks so their lane axis is the capacity.  float32 only (the
+production fast path); the XLA tiled backend remains the general fallback.
+``interpret=True`` runs the kernels on CPU for correctness tests.
 """
 
 from __future__ import annotations
@@ -39,14 +43,9 @@ from ..mesh_tiled import TILE, TiledInterpolation
 
 
 def supports_pallas(interp: TiledInterpolation, n_channels: int, dtype) -> bool:
-    """Pallas fast path: single channel, f32, z-extent a lane multiple."""
-    nz = interp.ns[2]
-    return (
-        n_channels == 1
-        and dtype == jnp.float32
-        and nz % 128 == 0
-        and interp.local_x.shape[1] % 8 == 0
-    )
+    """Pallas fast path: float32, sublane-aligned capacity (any channel
+    count and any z extent — channels ride the lane axis behind z)."""
+    return dtype == jnp.float32 and interp.local_x.shape[1] % 8 == 0
 
 
 def _dense_x(iota_e, start, weights, nodes):
@@ -78,38 +77,57 @@ def _factors(lx_ref, ly_ref, sz_ref, w_ref, nodes, extent, nz, capacity):
     return wxy, wz
 
 
-def _spread_kernel(lx_ref, ly_ref, sz_ref, w_ref, q_ref, out_ref, *, nodes, extent, nz, capacity):
+def _charge_z_factors(wz, q_ck, n_ch):
+    """(K, C·nz) charge-weighted z factors from (K, nz) and (C, K).
+
+    Channel-major lane layout built by concatenation — Mosaic supports lane
+    concat but not minor-dim vector reshapes, so channels are folded as
+    ``[c0 z..., c1 z..., ...]`` blocks."""
+    blocks = [wz * q_ck[c][:, None] for c in range(n_ch)]
+    return blocks[0] if n_ch == 1 else jnp.concatenate(blocks, axis=1)
+
+
+def _spread_kernel(
+    lx_ref, ly_ref, sz_ref, w_ref, q_ref, out_ref, *, nodes, extent, nz, capacity, n_ch
+):
     wxy, wz = _factors(lx_ref, ly_ref, sz_ref, w_ref, nodes, extent, nz, capacity)
-    wzq = wz * q_ref[0, 0][:, None]  # (K, nz) charge-weighted z factors
+    wzq = _charge_z_factors(wz, q_ref[0], n_ch)
     out_ref[0] = jnp.dot(
         wxy, wzq, preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
     )
 
 
-def _gather_kernel(lx_ref, ly_ref, sz_ref, w_ref, tile_ref, out_ref, *, nodes, extent, nz, capacity):
+def _gather_kernel(
+    lx_ref, ly_ref, sz_ref, w_ref, tile_ref, out_ref, *, nodes, extent, nz, capacity, n_ch
+):
     wxy, wz = _factors(lx_ref, ly_ref, sz_ref, w_ref, nodes, extent, nz, capacity)
     partial = jnp.dot(
         wxy.T, tile_ref[0], preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
-    )  # (K, nz)
-    out_ref[0, 0] = jnp.sum(partial * wz, axis=1)
+    )  # (K, C·nz)
+    rows = [
+        jnp.sum(partial[:, c * nz : (c + 1) * nz] * wz, axis=1, keepdims=True).T
+        for c in range(n_ch)
+    ]
+    out_ref[0] = rows[0] if n_ch == 1 else jnp.concatenate(rows, axis=0)  # (C, K)
 
 
 def _wgrad_kernel(
-    lx_ref, ly_ref, sz_ref, w_ref, q_ref, tile_ref, wg_ref, *, nodes, extent, nz, capacity
+    lx_ref, ly_ref, sz_ref, w_ref, q_ref, tile_ref, wg_ref,
+    *, nodes, extent, nz, capacity, n_ch,
 ):
-    """∂S/∂w of S = Σ_k q_k Σ_xyz wx wy wz F — all three axis blocks."""
+    """∂S/∂w of S = Σ_kc q_kc Σ_xyz wx wy wz F_c — all three axis blocks."""
     iota_e = lax.broadcasted_iota(jnp.int32, (extent, capacity), 0)
     iota_z = lax.broadcasted_iota(jnp.int32, (capacity, nz), 1)
     wx = _dense_x(iota_e, lx_ref[0, 0][None, :], w_ref[0, :, 0, :].T, nodes)
     wy = _dense_x(iota_e, ly_ref[0, 0][None, :], w_ref[0, :, 1, :].T, nodes)
     wz = _dense_z(iota_z, sz_ref[0, 0][:, None], w_ref[0, :, 2, :], nodes, nz)
-    q = q_ref[0, 0]  # (K,)
+    q_ck = q_ref[0]  # (C, K)
 
-    field = tile_ref[0]  # (E², nz)
-    wzq = wz * q[:, None]
-    # Fz[xy, k] = Σ_z F[xy, z] wzq[k, z]
+    field = tile_ref[0]  # (E², C·nz)
+    wzq = _charge_z_factors(wz, q_ck, n_ch)
+    # Fz[xy, k] = Σ_zc F[xy, zc] wzq[k, zc]
     fz = jnp.dot(
         field, wzq.T, preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
@@ -117,11 +135,14 @@ def _wgrad_kernel(
     # axis-x cotangent: A[x,k] = Σ_y wy[y,k] Fz[x,y,k]; pick rows lx+o
     a_x = jnp.sum(fz * wy[None, :, :], axis=1)  # (E, K)
     b_y = jnp.sum(fz * wx[:, None, :], axis=0)  # (E, K)
-    # axis-z cotangent: H[k,z] = Σ_xy wxy[xy,k] F[xy,z], scaled by q
+    # axis-z cotangent: H[k,zc] = Σ_xy wxy[xy,k] F[xy,zc], channel-contracted
     wxy = (wx[:, None, :] * wy[None, :, :]).reshape(extent * extent, capacity)
     h = jnp.dot(
         wxy.T, field, preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
+    )  # (K, C·nz)
+    hq = sum(
+        q_ck[c][:, None] * h[:, c * nz : (c + 1) * nz] for c in range(n_ch)
     )  # (K, nz)
     sel_x, sel_y, sel_z = [], [], []
     for o in range(nodes):
@@ -132,7 +153,7 @@ def _wgrad_kernel(
             jnp.sum(jnp.where(iota_e == ly_ref[0, 0][None, :] + o, b_y, 0.0), axis=0)
         )
         tgt_z = (sz_ref[0, 0][:, None] + o) % nz
-        sel_z.append(q * jnp.sum(jnp.where(iota_z == tgt_z, h, 0.0), axis=1))
+        sel_z.append(jnp.sum(jnp.where(iota_z == tgt_z, hq, 0.0), axis=1))
     # (K, 3, n): one contiguous store
     wg_ref[0] = jnp.stack(
         [jnp.stack(sel_x, -1), jnp.stack(sel_y, -1), jnp.stack(sel_z, -1)], axis=1
@@ -159,6 +180,18 @@ def _data_specs(capacity, nodes):
     ]
 
 
+def _q_spec(n_ch, capacity):
+    return pl.BlockSpec(
+        (1, n_ch, capacity), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _tile_spec(extent, nz, n_ch):
+    return pl.BlockSpec(
+        (1, extent * extent, nz * n_ch), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _interpret():
     return jax.default_backend() != "tpu"
 
@@ -170,23 +203,21 @@ def _compiler_params():
 
 
 def _spread_impl(interp: TiledInterpolation, q_slots: Array) -> Array:
+    """q_slots (T, C, K) → tile fields (T, E², C·nz)."""
     n_tiles, capacity, extent, nz = _tile_geometry(interp)
+    n_ch = q_slots.shape[1]
     kernel = functools.partial(
-        _spread_kernel, nodes=interp.nodes, extent=extent, nz=nz, capacity=capacity
+        _spread_kernel,
+        nodes=interp.nodes, extent=extent, nz=nz, capacity=capacity, n_ch=n_ch,
     )
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=_data_specs(capacity, interp.nodes)
-        + [
-            pl.BlockSpec(
-                (1, 1, capacity), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, extent * extent, nz), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        in_specs=_data_specs(capacity, interp.nodes) + [_q_spec(n_ch, capacity)],
+        out_specs=_tile_spec(extent, nz, n_ch),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, extent * extent, nz * n_ch), jnp.float32
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, extent * extent, nz), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(
@@ -194,28 +225,23 @@ def _spread_impl(interp: TiledInterpolation, q_slots: Array) -> Array:
         interp.local_y[:, None],
         interp.start_z[:, None],
         interp.weights,
-        q_slots[:, None],
+        q_slots,
     )
 
 
-def _gather_impl(interp: TiledInterpolation, tiles: Array) -> Array:
+def _gather_impl(interp: TiledInterpolation, tiles: Array, n_ch: int) -> Array:
+    """tile fields (T, E², C·nz) → per-slot values (T, C, K)."""
     n_tiles, capacity, extent, nz = _tile_geometry(interp)
     kernel = functools.partial(
-        _gather_kernel, nodes=interp.nodes, extent=extent, nz=nz, capacity=capacity
+        _gather_kernel,
+        nodes=interp.nodes, extent=extent, nz=nz, capacity=capacity, n_ch=n_ch,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=_data_specs(capacity, interp.nodes)
-        + [
-            pl.BlockSpec(
-                (1, extent * extent, nz), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, capacity), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, capacity), jnp.float32),
+        in_specs=_data_specs(capacity, interp.nodes) + [_tile_spec(extent, nz, n_ch)],
+        out_specs=_q_spec(n_ch, capacity),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_ch, capacity), jnp.float32),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(
@@ -225,26 +251,20 @@ def _gather_impl(interp: TiledInterpolation, tiles: Array) -> Array:
         interp.weights,
         tiles,
     )
-    return out[:, 0]
 
 
 def _wgrad_impl(interp: TiledInterpolation, q_slots: Array, tiles: Array) -> Array:
     n_tiles, capacity, extent, nz = _tile_geometry(interp)
+    n_ch = q_slots.shape[1]
     kernel = functools.partial(
-        _wgrad_kernel, nodes=interp.nodes, extent=extent, nz=nz, capacity=capacity
+        _wgrad_kernel,
+        nodes=interp.nodes, extent=extent, nz=nz, capacity=capacity, n_ch=n_ch,
     )
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_data_specs(capacity, interp.nodes)
-        + [
-            pl.BlockSpec(
-                (1, 1, capacity), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, extent * extent, nz), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        + [_q_spec(n_ch, capacity), _tile_spec(extent, nz, n_ch)],
         out_specs=pl.BlockSpec(
             (1, capacity, 3, interp.nodes),
             lambda t: (t, 0, 0, 0),
@@ -260,7 +280,7 @@ def _wgrad_impl(interp: TiledInterpolation, q_slots: Array, tiles: Array) -> Arr
         interp.local_y[:, None],
         interp.start_z[:, None],
         interp.weights,
-        q_slots[:, None],
+        q_slots,
         tiles,
     )
 
@@ -289,7 +309,7 @@ def _spread_fwd(static, lx, ly, sz, weights, q_slots):
 def _spread_bwd(static, residuals, ct_tiles):
     lx, ly, sz, weights, q_slots = residuals
     interp = _rebuild(static, lx, ly, sz, weights)
-    ct_q = _gather_impl(interp, ct_tiles)
+    ct_q = _gather_impl(interp, ct_tiles, q_slots.shape[1])
     ct_w = _wgrad_impl(interp, q_slots, ct_tiles)
     return (*_int_cotangents(lx, ly, sz), ct_w, ct_q)
 
@@ -299,7 +319,8 @@ _spread.defvjp(_spread_fwd, _spread_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather(static, lx, ly, sz, weights, tiles):
-    return _gather_impl(_rebuild(static, lx, ly, sz, weights), tiles)
+    n_ch = static[2]
+    return _gather_impl(_rebuild(static, lx, ly, sz, weights), tiles, n_ch)
 
 
 def _gather_fwd(static, lx, ly, sz, weights, tiles):
@@ -319,7 +340,7 @@ _gather.defvjp(_gather_fwd, _gather_bwd)
 
 
 def _rebuild(static, lx, ly, sz, weights) -> TiledInterpolation:
-    ns, nodes = static
+    ns, nodes = static[0], static[1]
     return TiledInterpolation(
         local_x=lx,
         local_y=ly,
@@ -333,22 +354,23 @@ def _rebuild(static, lx, ly, sz, weights) -> TiledInterpolation:
 
 
 def spread_tiles(interp: TiledInterpolation, q_slots: Array) -> Array:
-    """Per-slot charges ``(T, K)`` → local tile fields ``(T, E², nz)``.
+    """Per-slot charges ``(T, K, C)`` → local tile fields ``(T, E², C·nz)``.
 
     Differentiable w.r.t. both the charges and the stencil weights (and
     therefore, through :func:`compute_tiled_interpolation`, the positions).
     """
-    static = (interp.ns, interp.nodes)
+    static = (interp.ns, interp.nodes, q_slots.shape[-1])
     return _spread(
         static, interp.local_x, interp.local_y, interp.start_z,
-        interp.weights, q_slots,
+        interp.weights, jnp.swapaxes(q_slots, 1, 2),
     )
 
 
-def gather_tiles(interp: TiledInterpolation, tiles: Array) -> Array:
-    """Local tile fields ``(T, E², nz)`` → per-slot values ``(T, K)``."""
-    static = (interp.ns, interp.nodes)
-    return _gather(
+def gather_tiles(interp: TiledInterpolation, tiles: Array, n_channels: int) -> Array:
+    """Local tile fields ``(T, E², C·nz)`` → per-slot values ``(T, K, C)``."""
+    static = (interp.ns, interp.nodes, n_channels)
+    out = _gather(
         static, interp.local_x, interp.local_y, interp.start_z,
         interp.weights, tiles,
     )
+    return jnp.swapaxes(out, 1, 2)
