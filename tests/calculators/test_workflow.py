@@ -202,3 +202,45 @@ def test_exclusion_radius_smooth_zeroing():
     calc = EwaldCalculator(pot, lr_wavelength=LR_WAVELENGTH)
     out = calc(charges, cell, positions, idx, dist)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("calc_kind", ["pme", "p3m"])
+def test_quadratic_kspace_energy_matches_potential_path(calc_kind):
+    """Calculator.energy's Parseval quadratic k-space fast path must equal
+    sum(potentials * q) — values AND gradients — for PME and P3M."""
+    import torchpme_tpu as tpme
+
+    rng = np.random.default_rng(21)
+    n, box = 40, 7.0
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)))
+    charges = jnp.asarray(rng.normal(size=(n, 1)))
+    cell = jnp.eye(3) * box
+    from torchpme_tpu.utils.neighbors import compute_distances, neighbor_list
+
+    idx, dist, shifts = map(
+        jnp.asarray, neighbor_list(np.asarray(positions), np.asarray(cell), 2.5)
+    )
+    if calc_kind == "pme":
+        calc = tpme.PMECalculator(
+            tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.4
+        )
+    else:
+        calc = tpme.P3MCalculator(
+            tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.4
+        )
+    ns = calc.get_ns_mesh(cell)
+
+    def e_fast(p, q, c):
+        d = compute_distances(p, idx, cell=c, neighbor_shifts=shifts)
+        return calc.energy(q, c, p, idx, d, ns_mesh=ns)
+
+    def e_ref(p, q, c):
+        d = compute_distances(p, idx, cell=c, neighbor_shifts=shifts)
+        return jnp.sum(calc(q, c, p, idx, d, ns_mesh=ns) * q)
+
+    args = (positions, charges, cell)
+    e1, g1 = jax.jit(jax.value_and_grad(e_fast, argnums=(0, 1, 2)))(*args)
+    e2, g2 = jax.value_and_grad(e_ref, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-11)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)

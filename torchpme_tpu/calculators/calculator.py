@@ -292,6 +292,15 @@ class Calculator:
             e_sr = jnp.sum(pot_sr * charges)
         if self.potential.smearing is None:
             return e_sr
+        # mesh calculators provide a quadratic-form k-space energy (Parseval:
+        # no inverse transform, no mesh->points gather); per-atom node_mask
+        # semantics need the potential path
+        kspace_energy = getattr(self, "_compute_kspace_energy", None)
+        if kspace_energy is not None and kspace_kwargs.get("node_mask") is None:
+            kspace_kwargs.pop("node_mask", None)
+            return e_sr + kspace_energy(
+                charges=charges, cell=cell, positions=positions, **kspace_kwargs
+            )
         pot_lr = self._compute_kspace(
             charges=charges, cell=cell, positions=positions, **kspace_kwargs
         )

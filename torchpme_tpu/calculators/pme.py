@@ -20,6 +20,7 @@ from ..ops.kspace import (
     apply_kspace_filter,
     apply_kspace_filter_dft,
     compute_kspace_filter,
+    kspace_filter_quadratic_dft,
 )
 from ..ops.kvectors import get_ns_mesh
 from ..ops.mesh import compute_interpolation, mesh_to_points, points_to_mesh
@@ -109,17 +110,21 @@ class PMECalculator(Calculator):
         """Static mesh shape for a concrete cell (pass as ``ns_mesh`` under jit)."""
         return get_ns_mesh(cell, self.mesh_spacing)
 
-    def _compute_kspace(
+    def _mesh_density(
         self,
         charges: Array,
         cell: Array,
         positions: Array,
-        periodic: Array | None = None,
-        kvectors: Array | None = None,
-        node_mask: Array | None = None,
-        ns_mesh: tuple[int, int, int] | None = None,
-        tiled_interp: TiledInterpolation | None = None,
-    ) -> Array:
+        kvectors,
+        ns_mesh,
+        tiled_interp: TiledInterpolation | None,
+    ):
+        """Spread the charges onto the mesh (shared by the per-atom potential
+        path and the quadratic energy fast path).
+
+        Returns ``(rho_mesh, interp, mesh_valid, use_tiled, use_dft, ns_mesh)``
+        where ``mesh_valid`` is the on-device validity flag of the tiled fast
+        path (``None`` on the scatter path)."""
         if kvectors is not None:
             raise NotImplementedError(
                 "Mesh calculators build their own k-grid; precomputed `kvectors` "
@@ -195,7 +200,6 @@ class PMECalculator(Calculator):
             )
             rho_mesh = points_to_mesh(interp, charges)
 
-        kfilter = self._kspace_filter(cell, ns_mesh)
         if self.fft_backend == "dft":
             use_dft = True
         elif self.fft_backend == "fft":
@@ -206,6 +210,25 @@ class PMECalculator(Calculator):
             use_dft = (
                 max(ns_mesh) <= 256 and _jax.default_backend() not in ("cpu",)
             )
+        return rho_mesh, interp, mesh_valid, use_tiled, use_dft, ns_mesh
+
+    def _compute_kspace(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        periodic: Array | None = None,
+        kvectors: Array | None = None,
+        node_mask: Array | None = None,
+        ns_mesh: tuple[int, int, int] | None = None,
+        tiled_interp: TiledInterpolation | None = None,
+    ) -> Array:
+        rho_mesh, interp, mesh_valid, use_tiled, use_dft, ns_mesh = (
+            self._mesh_density(
+                charges, cell, positions, kvectors, ns_mesh, tiled_interp
+            )
+        )
+        kfilter = self._kspace_filter(cell, ns_mesh)
         if use_dft:
             potential_mesh = apply_kspace_filter_dft(rho_mesh, kfilter)
         else:
@@ -245,6 +268,56 @@ class PMECalculator(Calculator):
             energy = energy * node_mask[:, None]
         # compensate double counting of pairs (i,j) and (j,i)
         return energy / 2
+
+    def _compute_kspace_energy(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        periodic: Array | None = None,
+        kvectors: Array | None = None,
+        ns_mesh: tuple[int, int, int] | None = None,
+        tiled_interp: TiledInterpolation | None = None,
+    ) -> Array:
+        r"""Total k-space energy :math:`\sum_i q_i V_i^{LR}` as a quadratic
+        form — the scalar fast path of :meth:`Calculator.energy`.
+
+        Because the mesh energy is :math:`\langle\rho, K\circledast\rho
+        \rangle`, it is evaluated directly in k-space by Parseval
+        (:func:`~torchpme_tpu.ops.kspace.kspace_filter_quadratic_dft`): no
+        inverse transform and no mesh→points gather in the forward, and
+        autodiff's backward is one inverse DFT instead of two full round
+        trips.  Matches ``sum(_compute_kspace(...) * charges)`` exactly.
+        """
+        rho_mesh, interp, mesh_valid, use_tiled, use_dft, ns_mesh = (
+            self._mesh_density(
+                charges, cell, positions, kvectors, ns_mesh, tiled_interp
+            )
+        )
+        kfilter = self._kspace_filter(cell, ns_mesh)
+        volume = jnp.abs(jnp.linalg.det(cell))
+        if use_dft:
+            e_mesh = kspace_filter_quadratic_dft(rho_mesh, kfilter) / volume
+        else:
+            potential_mesh = apply_kspace_filter(
+                rho_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
+            )
+            e_mesh = jnp.sum(rho_mesh * potential_mesh) / volume
+        if use_tiled and mesh_valid is not None:
+            e_mesh = e_mesh * jnp.where(mesh_valid, 1.0, jnp.nan)
+
+        # the same corrections as the per-atom path, contracted with q
+        e = e_mesh - self.potential.self_contribution() * jnp.sum(charges**2)
+        charge_tot = jnp.sum(charges, axis=0)
+        e = e - 2 * self.potential.background_correction() * jnp.sum(
+            charge_tot**2
+        ) / volume
+        e = e + jnp.sum(
+            self.potential.pbc_correction(periodic, positions, cell, charges)
+            * charges
+        )
+        # compensate double counting of pairs (i,j) and (j,i)
+        return e / 2
 
     def __call__(
         self,

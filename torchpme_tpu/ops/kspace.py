@@ -18,6 +18,7 @@ __all__ = [
     "apply_kspace_filter",
     "apply_kspace_filter_dft",
     "compute_kspace_filter",
+    "kspace_filter_quadratic_dft",
     "p3m_influence_function",
     "KSpaceKernel",
     "KSpaceFilter",
@@ -262,6 +263,53 @@ class P3MKSpaceFilter(KSpaceFilter):
         self._kfilter = influence * compute_kspace_filter(
             self.kernel.kernel_from_k_sq, self.cell, self.ns_mesh
         )
+
+
+def kspace_filter_quadratic_dft(mesh_values: Array, kfilter: Array) -> Array:
+    r"""Quadratic form :math:`\sum_x \rho\,(K \circledast \rho)` via Parseval.
+
+    Exactly equals ``jnp.sum(mesh_values * apply_kspace_filter_dft(mesh_values,
+    kfilter))`` (summed over channels) but runs HALF the DFT passes: with the
+    un-normalized forward/backward pair used here,
+
+    .. math:: \sum_x \rho\,\phi = \sum_k w_{k_z}\,\hat K(k)\,|\hat\rho(k)|^2
+
+    where :math:`w_{k_z}` are the Hermitian half-spectrum fold weights (2
+    except at :math:`k_z = 0` and, for even :math:`n_z`, the Nyquist plane).
+    This is the scalar-energy fast path: no inverse transform and no
+    mesh→points gather in the forward, and autodiff's backward through the
+    quadratic is a single inverse DFT (the cotangent of :math:`\hat\rho` is
+    :math:`2\hat K\hat\rho`) instead of the two full round trips the
+    potential-then-gather formulation pays.
+    """
+    dtype = mesh_values.dtype
+    nx, ny, nz = mesh_values.shape[-3:]
+    P = "highest"
+    crz, srz = _dft_matrices(nz, dtype)
+    cfy, sfy = _full_dft_matrices(ny, dtype, -1)
+    cfx, sfx = _full_dft_matrices(nx, dtype, -1)
+
+    re = jnp.einsum("cxyz,zk->cxyk", mesh_values, crz, precision=P)
+    im = jnp.einsum("cxyz,zk->cxyk", mesh_values, srz, precision=P)
+    re, im = (
+        jnp.einsum("cxyk,yw->cxwk", re, cfy, precision=P)
+        - jnp.einsum("cxyk,yw->cxwk", im, sfy, precision=P),
+        jnp.einsum("cxyk,yw->cxwk", re, sfy, precision=P)
+        + jnp.einsum("cxyk,yw->cxwk", im, cfy, precision=P),
+    )
+    re, im = (
+        jnp.einsum("cxwk,xu->cuwk", re, cfx, precision=P)
+        - jnp.einsum("cxwk,xu->cuwk", im, sfx, precision=P),
+        jnp.einsum("cxwk,xu->cuwk", re, sfx, precision=P)
+        + jnp.einsum("cxwk,xu->cuwk", im, cfx, precision=P),
+    )
+
+    w = np.full(nz // 2 + 1, 2.0)
+    w[0] = 1.0
+    if nz % 2 == 0:
+        w[-1] = 1.0
+    weights = jnp.asarray(w, dtype) * kfilter
+    return jnp.sum((re**2 + im**2) * weights)
 
 
 def _dft_matrices(n: int, dtype, inverse: bool = False):
