@@ -349,12 +349,14 @@ def _extras_potentials(pot_obj, pc_t, q_g, mf_g, pe, pe_abs, qe, clist, cell):
 
     * extra ↔ bucketed: the full 27-cell window around each extra's home
       cell, fetched as whole bucket rows (one small row gather — the extras
-      are ≲3% of the atoms by construction);
-    * extra ↔ extra: dense minimum-image pairs (``compute_cell_list``
+      are a few % of the atoms by construction) and flattened to an
+      ``(E, 27·cap)`` trailing axis so the pair math runs full-lane;
+    * extra ↔ extra: dense minimum-image pairs computed as per-axis
+      ``(E, E)`` planes (never a 3-wide lane axis; ``compute_cell_list``
       guarantees every cell-plane distance ≥ 2·cutoff when spilling, so the
       single nearest image suffices).
 
-    Returns ``(v_em, rows_q, ids, ok_em, v_ee)`` for the callers to contract:
+    Returns ``(v_em, rows_q, ids, v_ee)`` for the callers to contract:
     ``v_em`` (E, 27, cap) masked pair values against bucket rows ``ids``
     (E, 27), and ``v_ee`` (E, E) masked pair values (self excluded, both
     directions present)."""
@@ -364,27 +366,41 @@ def _extras_potentials(pot_obj, pc_t, q_g, mf_g, pe, pe_abs, qe, clist, cell):
     n_axis = jnp.asarray([nx, ny, nz], dtype)
     cut2 = jnp.asarray(clist.cutoff, dtype) ** 2
     e_pad = pe.shape[0]
+    w27 = 27 * cap
 
     d27 = jnp.asarray(_D27, jnp.int32)  # (27, 3)
     nb3 = (clist.extra_cell[:, None, :] + d27[None]) % jnp.asarray(
         [nx, ny, nz], jnp.int32
     )
     ids = (nb3[..., 0] * ny + nb3[..., 1]) * nz + nb3[..., 2]  # (E, 27)
-    rows_p = pc_t.reshape(n_cells, 3, cap)[ids]  # (E, 27, 3, cap)
+    # (E, 3, 27·cap): coordinate planes with a wide lane axis
+    rows_p = jnp.moveaxis(pc_t.reshape(n_cells, 3, cap)[ids], 2, 1).reshape(
+        e_pad, 3, w27
+    )
     rows_q = q_g.reshape(n_cells, cap, -1)[ids]  # (E, 27, cap, C)
-    rows_m = mf_g.reshape(n_cells, cap)[ids]  # (E, 27, cap)
+    rows_m = mf_g.reshape(n_cells, cap)[ids].reshape(e_pad, w27)
     offv = jnp.matmul(d27.astype(dtype) / n_axis, cell, precision="highest")
-    disp = pe[:, None, :, None] - (rows_p + offv[None, :, :, None])
-    d2 = jnp.sum(disp**2, axis=2)  # (E, 27, cap)
-    ok_em = (d2 < cut2) & (rows_m > 0.5) & clist.extra_mask[:, None, None]
+    off_flat = jnp.repeat(offv.T, cap, axis=1)  # (3, 27·cap)
+    d2 = sum(
+        (pe[:, c, None] - rows_p[:, c, :] - off_flat[c][None, :]) ** 2
+        for c in range(3)
+    )  # (E, 27·cap)
+    ok_em = (d2 < cut2) & (rows_m > 0.5) & clist.extra_mask[:, None]
     d_em = jnp.sqrt(jnp.where(ok_em, d2, 1.0))
     v_em = jnp.where(ok_em, _potential_pair_values(pot_obj, d_em), 0.0)
+    v_em = v_em.reshape(e_pad, 27, cap)
 
+    # extra ↔ extra: fractional minimum image, one (E, E) plane per axis
     inv_cell = jnp.linalg.inv(cell)
-    dr = pe_abs[:, None] - pe_abs[None, :]
-    shift = jnp.round(jnp.matmul(dr, inv_cell, precision="highest"))
-    dr = dr - jnp.matmul(shift, cell, precision="highest")
-    d2e = jnp.sum(dr**2, axis=-1)
+    f = jnp.matmul(pe_abs, inv_cell, precision="highest")  # (E, 3)
+    g = [None] * 3
+    for c in range(3):
+        df = f[:, c][:, None] - f[:, c][None, :]
+        g[c] = df - jnp.round(df)
+    d2e = sum(
+        (g[0] * cell[0, d] + g[1] * cell[1, d] + g[2] * cell[2, d]) ** 2
+        for d in range(3)
+    )
     m_ee = clist.extra_mask[:, None] & clist.extra_mask[None, :]
     ok_ee = (d2e < cut2) & m_ee & ~jnp.eye(e_pad, dtype=bool)
     d_ee = jnp.sqrt(jnp.where(ok_ee, d2e, 1.0))
