@@ -1,0 +1,95 @@
+"""The MD fast path: cell-list real space + `Calculator.energy`.
+
+The per-atom-potentials API (``calc(...)``) is the reference-parity surface;
+an MD loop wants something leaner: one *scalar* energy whose gradient is
+minus the forces, with every per-pair/per-atom indexing operation replaced
+by TPU-native structures.  That fast path is:
+
+* :func:`~torchpme_tpu.ops.rspace_cells.compute_cell_list` — a host-side
+  bucketing reused across steps like a neighbor list.  On device, the pair
+  sum runs over gather-free 27-cell torus windows with an analytic-force
+  custom VJP; overflowing atoms spill into a small side list (so slab/vacuum
+  systems need no manual capacity tuning).
+* :func:`~torchpme_tpu.ops.mesh_tiled.compute_tiled_interpolation` — the
+  tile bucketing of the PME mesh spread, also reused across steps.
+* :meth:`Calculator.energy` — contracts the real-space sum in bucket order
+  and evaluates the k-space energy as a quadratic form by Parseval (no
+  inverse transform, no mesh→points gather).
+
+Both bucketings are *staleness-guarded*: when an atom drifts out of its
+assigned cell or tile window, the energy (and its gradients) NaN-poison
+instead of going silently wrong — rebucket exactly like refreshing a
+neighbor list.  On a v5e this path runs a 102k-atom PME energy+force step
+in ~18 ms at 1e-4 force accuracy (see ``bench.py`` / BASELINE.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import torchpme_tpu as tpme
+from torchpme_tpu.ops.mesh_tiled import compute_tiled_interpolation
+from torchpme_tpu.ops.rspace_cells import compute_cell_list
+
+# --- a small water-density box ----------------------------------------------
+rng = np.random.default_rng(0)
+n_atoms = 300
+box = float((n_atoms / 0.1) ** (1 / 3))
+positions = jnp.asarray(rng.uniform(0, box, (n_atoms, 3)), jnp.float32)
+base = np.tile([-0.84, 0.42, 0.42], n_atoms // 3)[:n_atoms]
+charges = jnp.asarray((base - base.mean()).reshape(-1, 1), jnp.float32)
+cell = jnp.eye(3, dtype=jnp.float32) * box
+
+cutoff = 4.5
+calc = tpme.PMECalculator(
+    tpme.CoulombPotential(smearing=jnp.float32(1.2)),
+    mesh_spacing=1.0,
+    interpolation_nodes=4,
+)
+ns_mesh = calc.get_ns_mesh(cell)  # static under jit
+
+# --- bucketings, reused across steps like a neighbor list --------------------
+clist = compute_cell_list(positions, cell, cutoff)
+tiled = compute_tiled_interpolation(
+    positions, jnp.linalg.inv(cell), ns_mesh, 4, "Lagrange"
+)
+
+
+@jax.jit
+def energy_and_forces(positions):
+    def energy(p):
+        return calc.energy(
+            charges, cell, p, cell_list=clist, ns_mesh=ns_mesh, tiled_interp=tiled
+        )
+
+    e, grad = jax.value_and_grad(energy)(positions)
+    return e, -grad
+
+
+e, forces = energy_and_forces(positions)
+print(f"E = {float(e):.6f}, |F|max = {float(jnp.abs(forces).max()):.4f}")
+
+# a few steepest-descent steps, all jitted — the bucketings stay valid while
+# atoms remain inside their cells/tiles
+p = positions
+for _ in range(3):
+    e, f = energy_and_forces(p)
+    p = p + 1e-3 * f
+    print(f"E = {float(e):.6f}")
+
+# drift an atom far out of its cell: the energy NaN-poisons instead of
+# silently using a stale bucketing
+drifted = positions.at[0].add(jnp.asarray([2 * cutoff, 0.0, 0.0]))
+e_stale, _ = energy_and_forces(drifted)
+print(f"stale bucketing detected: energy is NaN -> {bool(jnp.isnan(e_stale))}")
+
+# rebucketing (like refreshing a neighbor list) makes it valid again
+clist2 = compute_cell_list(drifted, cell, cutoff)
+tiled2 = compute_tiled_interpolation(
+    drifted, jnp.linalg.inv(cell), ns_mesh, 4, "Lagrange"
+)
+e_fresh = calc.energy(
+    charges, cell, drifted, cell_list=clist2, ns_mesh=ns_mesh, tiled_interp=tiled2
+)
+print(f"after rebucketing: E = {float(e_fresh):.6f}")
+assert not bool(jnp.isnan(e_fresh))
