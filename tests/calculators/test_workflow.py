@@ -244,3 +244,37 @@ def test_quadratic_kspace_energy_matches_potential_path(calc_kind):
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-11)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_quadratic_kspace_energy_ewald():
+    """EwaldCalculator.energy's structure-factor quadratic fast path must
+    equal sum(potentials * q) — values AND gradients."""
+    import torchpme_tpu as tpme
+
+    rng = np.random.default_rng(22)
+    n, box = 30, 6.0
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)))
+    charges = jnp.asarray(rng.normal(size=(n, 2)))
+    cell = jnp.eye(3) * box
+    from torchpme_tpu.utils.neighbors import compute_distances, neighbor_list
+
+    idx, dist, shifts = map(
+        jnp.asarray, neighbor_list(np.asarray(positions), np.asarray(cell), 2.2)
+    )
+    calc = tpme.EwaldCalculator(tpme.CoulombPotential(smearing=1.0), lr_wavelength=1.0)
+    ns_k = calc.get_ns_kvectors(cell)
+
+    def e_fast(p, q, c):
+        d = compute_distances(p, idx, cell=c, neighbor_shifts=shifts)
+        return calc.energy(q, c, p, idx, d, ns_kvectors=ns_k)
+
+    def e_ref(p, q, c):
+        d = compute_distances(p, idx, cell=c, neighbor_shifts=shifts)
+        return jnp.sum(calc(q, c, p, idx, d, ns_kvectors=ns_k) * q)
+
+    args = (positions, charges, cell)
+    e1, g1 = jax.jit(jax.value_and_grad(e_fast, argnums=(0, 1, 2)))(*args)
+    e2, g2 = jax.value_and_grad(e_ref, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)

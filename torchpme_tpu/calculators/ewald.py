@@ -143,6 +143,53 @@ class EwaldCalculator(Calculator):
         # compensate double counting of pairs (i,j) and (j,i)
         return energy / 2
 
+    def _compute_kspace_energy(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        periodic: Array | None = None,
+        kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+    ) -> Array:
+        r"""Total k-space energy via the structure factor: the scalar fast
+        path of :meth:`Calculator.energy`.
+
+        :math:`\sum_i q_i V_i^{LR} = \tfrac1V \sum_k \hat v(k)\,|S(k)|^2`
+        with :math:`S(k) = \sum_i q_i e^{i k\cdot r_i}` — the back-projection
+        einsum onto the atoms (half of the two :math:`O(n_k N)` contractions
+        of the per-atom path) drops out entirely.  Matches
+        ``sum(_compute_kspace(...) * charges)`` exactly.
+        """
+        if kvectors is None:
+            if ns_kvectors is not None:
+                kvectors = generate_kvectors_for_ewald(
+                    cell, tuple(int(n) for n in ns_kvectors)
+                )
+            else:
+                kvectors = self.compute_kvectors(cell)
+
+        knorm_sq = jnp.sum(kvectors**2, axis=-1)
+        g_kernel = self.potential.lr_from_k_sq(knorm_sq)
+        trig_args = jnp.matmul(kvectors, positions.T, precision="highest")
+        trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])  # (2, n_k, N)
+        s_fact = jnp.einsum("fki,ic->fkc", trig, charges, precision="highest")
+        volume = jnp.abs(jnp.linalg.det(cell))
+        e = jnp.einsum("fkc,fkc,k->", s_fact, s_fact, g_kernel, precision="highest")
+        e = e / volume
+
+        e = e - self.potential.self_contribution() * jnp.sum(charges**2)
+        charge_tot = jnp.sum(charges, axis=0)
+        e = e - 2 * self.potential.background_correction() * jnp.sum(
+            charge_tot**2
+        ) / volume
+        e = e + jnp.sum(
+            self.potential.pbc_correction(periodic, positions, cell, charges)
+            * charges
+        )
+        # compensate double counting of pairs (i,j) and (j,i)
+        return e / 2
+
     def __call__(
         self,
         charges: Array,
