@@ -25,6 +25,22 @@ import numpy as np
 REPO = Path(__file__).parent
 BASELINE_CACHE = REPO / "BASELINE_local.json"
 
+
+def _enable_compile_cache():
+    """Persist compiled executables across processes: the remote TPU
+    compiler on this runtime intermittently wedges (>10 min) on large
+    programs; a primed cache makes reruns immune."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: flag names differ; cache is an optimization only
+
+
+_enable_compile_cache()
+
 N_ATOMS = int(os.environ.get("BENCH_N", 102_000))
 CUTOFF = 5.0
 ACCURACY = 1e-4

@@ -145,3 +145,63 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def profile_quadratic():
+    """Appended: time the quadratic-form k-space energy block (fwd+bwd)."""
+    import jax
+    import jax.numpy as jnp
+
+    import torchpme_tpu as tpme
+    from bench import build_system, choose_parameters
+    from torchpme_tpu.ops.kspace import compute_kspace_filter, kspace_filter_quadratic_dft
+    from torchpme_tpu.ops.mesh_tiled import (
+        compute_tiled_interpolation,
+        refresh_tiled_interpolation,
+        tiled_points_to_mesh,
+    )
+
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
+    smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
+    dtype = jnp.float32
+    q = jnp.asarray(charges, dtype)
+    cell_j = jnp.asarray(cell, dtype)
+    pos = jnp.asarray(positions, dtype)
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=smearing),
+        mesh_spacing=spacing, interpolation_nodes=nodes,
+    )
+    ns = calc.get_ns_mesh(cell_j)
+    inv = jnp.linalg.inv(cell_j)
+    interp = compute_tiled_interpolation(pos, inv, ns, nodes, "Lagrange")
+    kfilter = compute_kspace_filter(calc.potential.lr_from_k_sq, cell_j, ns)
+
+    def chain(body, init):
+        @jax.jit
+        def run(x):
+            import jax as _j
+            return _j.lax.fori_loop(0, CHAIN, lambda _, c: body(c), x)
+        return run, init
+
+    def kq_energy(p):
+        new, _ = refresh_tiled_interpolation(interp, p, inv, "Lagrange")
+        rho = tiled_points_to_mesh(new, q)
+        return kspace_filter_quadratic_dft(rho, kfilter)
+
+    def body(p):
+        e, g = jax.value_and_grad(kq_energy)(p)
+        return p - 1e-12 * g
+
+    run, init = chain(body, pos)
+    timed("QUADRATIC kspace energy fwd+bwd", run, init)
+
+    def body_f(p):
+        e = kq_energy(p)
+        return p + 1e-30 * e
+
+    run, init = chain(body_f, pos)
+    timed("QUADRATIC kspace energy fwd only", run, init)
+
+
+if __name__ == "__main__" and __import__("os").environ.get("QUAD"):
+    profile_quadratic()
