@@ -1,5 +1,6 @@
 """K-space filter tests (parity with reference ``tests/lib/test_kspace_filter.py``)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -111,3 +112,22 @@ def test_invalid_options():
         apply_kspace_filter(jnp.zeros((4, 4, 4)), jnp.zeros((4, 4, 3)))
     with pytest.raises(ValueError, match="inconsistent"):
         apply_kspace_filter(jnp.zeros((1, 4, 4, 4)), jnp.zeros((4, 4, 9)))
+
+
+def test_kspace_filter_nan_guard_under_jit():
+    """The NaN guard is always-on (reference parity): raises eagerly, and
+    under jit it fires at run time through a debug callback instead of
+    breaking the trace."""
+    class UnitKernel:
+        def kernel_from_k_sq(self, k_sq):
+            return jnp.ones_like(k_sq)
+
+    kf = KSpaceFilter(jnp.eye(3), (4, 4, 4), UnitKernel())
+    field = jnp.arange(64.0).reshape(1, 4, 4, 4)
+    np.testing.assert_allclose(jax.jit(kf)(field), field, atol=1e-10)
+
+    bad = field.at[0, 0, 0, 0].set(jnp.nan)
+    with pytest.raises(ValueError, match="NaNs detected"):
+        kf(bad)
+    with pytest.raises(Exception, match="NaNs detected|callback"):
+        jax.block_until_ready(jax.jit(kf)(bad))

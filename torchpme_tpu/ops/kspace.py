@@ -212,13 +212,28 @@ class KSpaceFilter:
         result = apply_kspace_filter(
             mesh_values, self._kfilter, self._fft_norm, self._ifft_norm
         )
-        if bool(jnp.any(jnp.isnan(result))):
-            raise ValueError(
-                "NaNs detected in the k-space filter result. These are probably "
-                "caused by an unsuitable `mesh_spacing`, resulting in a "
-                f"problematic grid of shape {list(mesh_values.shape)}. Try "
-                "adjusting the grid with a different `mesh_spacing` value."
-            )
+        # always-on NaN guard (parity with the reference's
+        # ``lib/kspace_filter.py:189-195``): raises eagerly, and under ``jit``
+        # the reduced boolean rides a debug callback so the check still fires
+        # at run time instead of breaking the trace
+        message = (
+            "NaNs detected in the k-space filter result. These are probably "
+            "caused by an unsuitable `mesh_spacing`, resulting in a "
+            f"problematic grid of shape {list(mesh_values.shape)}. Try "
+            "adjusting the grid with a different `mesh_spacing` value."
+        )
+
+        def _raise_if(flag):
+            if flag:
+                raise ValueError(message)
+
+        import jax
+
+        has_nan = jnp.any(jnp.isnan(result))
+        if isinstance(has_nan, jax.core.Tracer):
+            jax.debug.callback(_raise_if, has_nan)
+        else:
+            _raise_if(bool(has_nan))
         return result
 
     __call__ = forward
