@@ -77,6 +77,23 @@ def test_neighbor_distances_shape(calc, good_inputs):
         calc(**good_inputs)
 
 
+def test_one_sided_neighbor_args_raise(calc, good_inputs):
+    """Passing exactly one of indices/distances gets the guidance error, not
+    an AttributeError (regression: the one-None case fell through)."""
+    for drop in ("neighbor_indices", "neighbor_distances"):
+        inputs = dict(good_inputs)
+        inputs[drop] = None
+        with pytest.raises(ValueError, match="together"):
+            calc(**inputs)
+
+
+def test_energy_validates_inputs(calc, good_inputs):
+    """Calculator.energy runs the same input validation as __call__."""
+    good_inputs["charges"] = jnp.ones((2,))  # 1D: curated shape error
+    with pytest.raises(ValueError, match="`charges`"):
+        calc.energy(**good_inputs)
+
+
 def test_neighbor_distances_dtype(calc, good_inputs):
     good_inputs["neighbor_distances"] = jnp.ones((1,), dtype=jnp.float32)
     with pytest.raises(TypeError, match="neighbor_distances"):

@@ -270,6 +270,16 @@ class Calculator:
         ``kspace_kwargs`` are forwarded to the k-space part (``ns_mesh``,
         ``tiled_interp``, ``ns_kvectors``, ...).
         """
+        # same input validation as the per-atom __call__ path: malformed
+        # inputs get the curated errors, not obscure downstream shape errors
+        validate_parameters(
+            charges=charges,
+            cell=cell,
+            positions=positions,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=neighbor_distances,
+            pair_mask=pair_mask,
+        )
         if cell_list is not None:
             from ..ops.rspace_cells import cell_list_rspace_energy
 

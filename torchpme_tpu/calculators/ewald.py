@@ -90,16 +90,17 @@ class EwaldCalculator(Calculator):
             jnp.asarray(cell), self.get_ns_kvectors(cell)
         )
 
-    def _compute_kspace(
+    def _kspace_structure_setup(
         self,
-        charges: Array,
         cell: Array,
         positions: Array,
-        periodic: Array | None = None,
-        kvectors: Array | None = None,
-        node_mask: Array | None = None,
-        ns_kvectors: tuple[int, int, int] | None = None,
-    ) -> Array:
+        kvectors: Array | None,
+        ns_kvectors: tuple[int, int, int] | None,
+    ):
+        """Shared k-space prefix of the per-atom and scalar-energy paths:
+        resolve the k-grid, evaluate the Fourier kernel, and build the
+        cos/sin structure-factor trig stack (Poisson summation — the
+        O(n_k · N) evaluation instead of O(n_k · N²))."""
         if kvectors is None:
             if ns_kvectors is not None:
                 # static extents, traced cell: differentiable w.r.t. cell
@@ -114,11 +115,23 @@ class EwaldCalculator(Calculator):
         # Fourier kernel of the screened long-range potential; its k=0 entry is
         # zero, which also neutralizes any zero-padded batching k-vectors
         g_kernel = self.potential.lr_from_k_sq(knorm_sq)
-
-        # structure-factor trick (Poisson summation): cos/sin factors give the
-        # O(n_k · N) evaluation instead of O(n_k · N²)
         trig_args = jnp.matmul(kvectors, positions.T, precision="highest")  # (n_k, N)
         trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])  # (2, n_k, N)
+        return g_kernel, trig
+
+    def _compute_kspace(
+        self,
+        charges: Array,
+        cell: Array,
+        positions: Array,
+        periodic: Array | None = None,
+        kvectors: Array | None = None,
+        node_mask: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+    ) -> Array:
+        g_kernel, trig = self._kspace_structure_setup(
+            cell, positions, kvectors, ns_kvectors
+        )
         weighted = jnp.einsum(
             "fki,ic,k->fkc", trig, charges, g_kernel, precision="highest"
         )
@@ -161,18 +174,9 @@ class EwaldCalculator(Calculator):
         of the per-atom path) drops out entirely.  Matches
         ``sum(_compute_kspace(...) * charges)`` exactly.
         """
-        if kvectors is None:
-            if ns_kvectors is not None:
-                kvectors = generate_kvectors_for_ewald(
-                    cell, tuple(int(n) for n in ns_kvectors)
-                )
-            else:
-                kvectors = self.compute_kvectors(cell)
-
-        knorm_sq = jnp.sum(kvectors**2, axis=-1)
-        g_kernel = self.potential.lr_from_k_sq(knorm_sq)
-        trig_args = jnp.matmul(kvectors, positions.T, precision="highest")
-        trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])  # (2, n_k, N)
+        g_kernel, trig = self._kspace_structure_setup(
+            cell, positions, kvectors, ns_kvectors
+        )
         s_fact = jnp.einsum("fki,ic->fkc", trig, charges, precision="highest")
         volume = jnp.abs(jnp.linalg.det(cell))
         e = jnp.einsum("fkc,fkc,k->", s_fact, s_fact, g_kernel, precision="highest")

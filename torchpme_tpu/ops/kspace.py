@@ -132,6 +132,29 @@ def p3m_influence_function(
     return jnp.where(denominator == 0, 0.0, numerator / masked)
 
 
+_CALLBACK_SUPPORT: bool | None = None
+
+
+def _host_callbacks_supported() -> bool:
+    """Probe (once) whether the default backend executes jitted host
+    callbacks — remote/tunneled runtimes reject them with UNIMPLEMENTED
+    even though they report platform "tpu"."""
+    global _CALLBACK_SUPPORT
+    if _CALLBACK_SUPPORT is None:
+        import jax
+
+        def probe(x):
+            jax.debug.callback(lambda v: None, x)
+            return x
+
+        try:
+            jax.block_until_ready(jax.jit(probe)(jnp.zeros(())))
+            _CALLBACK_SUPPORT = True
+        except Exception:
+            _CALLBACK_SUPPORT = False
+    return _CALLBACK_SUPPORT
+
+
 class KSpaceKernel:
     """Protocol for objects providing a reciprocal-space kernel.
 
@@ -231,7 +254,13 @@ class KSpaceFilter:
 
         has_nan = jnp.any(jnp.isnan(result))
         if isinstance(has_nan, jax.core.Tracer):
-            jax.debug.callback(_raise_if, has_nan)
+            # host callbacks are unsupported on some runtimes (e.g. tunneled
+            # TPU backends raise UNIMPLEMENTED for every io/debug callback,
+            # while masquerading as platform "tpu") — probe once; where
+            # unsupported, the NaNs themselves are the signal, matching the
+            # NaN-poison contract of the other guards
+            if _host_callbacks_supported():
+                jax.debug.callback(_raise_if, has_nan)
         else:
             _raise_if(bool(has_nan))
         return result
@@ -280,23 +309,21 @@ class P3MKSpaceFilter(KSpaceFilter):
         )
 
 
-def kspace_filter_quadratic_dft(mesh_values: Array, kfilter: Array) -> Array:
-    r"""Quadratic form :math:`\sum_x \rho\,(K \circledast \rho)` via Parseval.
+def _hermitian_fold_weights(nz: int):
+    """Half-z-spectrum fold weights: 2 except at k_z = 0 and (even nz) Nyquist."""
+    w = np.full(nz // 2 + 1, 2.0)
+    w[0] = 1.0
+    if nz % 2 == 0:
+        w[-1] = 1.0
+    return w
 
-    Exactly equals ``jnp.sum(mesh_values * apply_kspace_filter_dft(mesh_values,
-    kfilter))`` (summed over channels) but runs HALF the DFT passes: with the
-    un-normalized forward/backward pair used here,
 
-    .. math:: \sum_x \rho\,\phi = \sum_k w_{k_z}\,\hat K(k)\,|\hat\rho(k)|^2
-
-    where :math:`w_{k_z}` are the Hermitian half-spectrum fold weights (2
-    except at :math:`k_z = 0` and, for even :math:`n_z`, the Nyquist plane).
-    This is the scalar-energy fast path: no inverse transform and no
-    mesh→points gather in the forward, and autodiff's backward through the
-    quadratic is a single inverse DFT (the cotangent of :math:`\hat\rho` is
-    :math:`2\hat K\hat\rho`) instead of the two full round trips the
-    potential-then-gather formulation pays.
-    """
+def _dft_forward_real(mesh_values: Array):
+    """Un-normalized forward DFT of a real field: half-spectrum along z,
+    full complex along y and x — the shared first half of
+    :func:`apply_kspace_filter_dft` and
+    :func:`kspace_filter_quadratic_dft`.  Returns ``(re, im)`` with shape
+    ``(C, nx, ny, nz//2+1)``."""
     dtype = mesh_values.dtype
     nx, ny, nz = mesh_values.shape[-3:]
     P = "highest"
@@ -318,12 +345,31 @@ def kspace_filter_quadratic_dft(mesh_values: Array, kfilter: Array) -> Array:
         jnp.einsum("cxwk,xu->cuwk", re, sfx, precision=P)
         + jnp.einsum("cxwk,xu->cuwk", im, cfx, precision=P),
     )
+    return re, im
 
-    w = np.full(nz // 2 + 1, 2.0)
-    w[0] = 1.0
-    if nz % 2 == 0:
-        w[-1] = 1.0
-    weights = jnp.asarray(w, dtype) * kfilter
+
+def kspace_filter_quadratic_dft(mesh_values: Array, kfilter: Array) -> Array:
+    r"""Quadratic form :math:`\sum_x \rho\,(K \circledast \rho)` via Parseval.
+
+    Exactly equals ``jnp.sum(mesh_values * apply_kspace_filter_dft(mesh_values,
+    kfilter))`` (summed over channels) but runs HALF the DFT passes: with the
+    un-normalized forward/backward pair used here,
+
+    .. math:: \sum_x \rho\,\phi = \sum_k w_{k_z}\,\hat K(k)\,|\hat\rho(k)|^2
+
+    where :math:`w_{k_z}` are the Hermitian half-spectrum fold weights (2
+    except at :math:`k_z = 0` and, for even :math:`n_z`, the Nyquist plane).
+    This is the scalar-energy fast path: no inverse transform and no
+    mesh→points gather in the forward, and autodiff's backward through the
+    quadratic is a single inverse DFT (the cotangent of :math:`\hat\rho` is
+    :math:`2\hat K\hat\rho`) instead of the two full round trips the
+    potential-then-gather formulation pays.
+    """
+    nz = mesh_values.shape[-1]
+    re, im = _dft_forward_real(mesh_values)
+    weights = (
+        jnp.asarray(_hermitian_fold_weights(nz), mesh_values.dtype) * kfilter
+    )
     return jnp.sum((re**2 + im**2) * weights)
 
 
@@ -340,10 +386,7 @@ def _dft_matrices(n: int, dtype, inverse: bool = False):
             jnp.asarray(_np.sin(ang), dtype),
         )
     # inverse half-spectrum → real: fold the Hermitian half with weights
-    w = _np.full(n // 2 + 1, 2.0)
-    w[0] = 1.0
-    if n % 2 == 0:
-        w[-1] = 1.0
+    w = _hermitian_fold_weights(n)
     ang = 2 * _np.pi * _np.outer(kr, k) / n
     return (
         jnp.asarray(w[:, None] * _np.cos(ang), dtype),
@@ -372,25 +415,9 @@ def apply_kspace_filter_dft(mesh_values: Array, kfilter: Array) -> Array:
     dtype = mesh_values.dtype
     nx, ny, nz = mesh_values.shape[-3:]
     P = "highest"
-    crz, srz = _dft_matrices(nz, dtype)
-    cfy, sfy = _full_dft_matrices(ny, dtype, -1)
-    cfx, sfx = _full_dft_matrices(nx, dtype, -1)
 
     # forward: real input → half-spectrum along z, full complex along y, x
-    re = jnp.einsum("cxyz,zk->cxyk", mesh_values, crz, precision=P)
-    im = jnp.einsum("cxyz,zk->cxyk", mesh_values, srz, precision=P)
-    re, im = (
-        jnp.einsum("cxyk,yw->cxwk", re, cfy, precision=P)
-        - jnp.einsum("cxyk,yw->cxwk", im, sfy, precision=P),
-        jnp.einsum("cxyk,yw->cxwk", re, sfy, precision=P)
-        + jnp.einsum("cxyk,yw->cxwk", im, cfy, precision=P),
-    )
-    re, im = (
-        jnp.einsum("cxwk,xu->cuwk", re, cfx, precision=P)
-        - jnp.einsum("cxwk,xu->cuwk", im, sfx, precision=P),
-        jnp.einsum("cxwk,xu->cuwk", re, sfx, precision=P)
-        + jnp.einsum("cxwk,xu->cuwk", im, cfx, precision=P),
-    )
+    re, im = _dft_forward_real(mesh_values)
 
     re = re * kfilter
     im = im * kfilter

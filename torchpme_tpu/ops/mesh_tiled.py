@@ -359,8 +359,10 @@ def tiled_points_to_mesh(
     Numerically identical to :func:`torchpme_tpu.ops.mesh.points_to_mesh`
     (same stencils, different summation order).
 
-    :param impl: ``"auto"`` (fused Pallas kernels when eligible: single f32
-        channel, lane-aligned z), ``"pallas"``, or ``"xla"``.
+    :param impl: ``"auto"`` (the XLA tile-GEMM path — it beats the fused
+        Pallas kernels through the VJP at production sizes, see
+        ``_use_pallas``), ``"pallas"`` (opt-in fused kernels: f32, any
+        channel count / z extent), or ``"xla"``.
     """
     nz = interp.ns[2]
     n_tiles, capacity = interp.local_x.shape

@@ -66,6 +66,11 @@ def validate_parameters(
 
     if neighbor_indices is None and neighbor_distances is None:
         pass  # cell-list mode: the real-space sum needs no neighbor list
+    elif neighbor_indices is None or neighbor_distances is None:
+        raise ValueError(
+            "Provide `neighbor_indices` and `neighbor_distances` together "
+            "(or neither, with a `cell_list`); got only one of them"
+        )
     else:
         if neighbor_distances.ndim == 2:
             # dense per-atom layout: indices/distances both (n_atoms, capacity)
