@@ -79,7 +79,9 @@ for _ in range(3):
 
 # drift an atom far out of its cell: the energy NaN-poisons instead of
 # silently using a stale bucketing
-drifted = positions.at[0].add(jnp.asarray([2 * cutoff, 0.0, 0.0]))
+drifted = positions.at[0].add(
+    jnp.asarray([2 * cutoff, 0.0, 0.0], dtype=positions.dtype)
+)
 e_stale, _ = energy_and_forces(drifted)
 print(f"stale bucketing detected: energy is NaN -> {bool(jnp.isnan(e_stale))}")
 

@@ -94,6 +94,15 @@ def test_energy_validates_inputs(calc, good_inputs):
         calc.energy(**good_inputs)
 
 
+def test_energy_without_neighbors_or_cell_list_raises(calc, good_inputs):
+    """No NL and no cell list gets the curated guidance, not a TypeError
+    (regression: the scalar path bypassed _rspace_from_inputs)."""
+    good_inputs["neighbor_indices"] = None
+    good_inputs["neighbor_distances"] = None
+    with pytest.raises(ValueError, match="compute_cell_list"):
+        calc.energy(**good_inputs)
+
+
 def test_neighbor_distances_dtype(calc, good_inputs):
     good_inputs["neighbor_distances"] = jnp.ones((1,), dtype=jnp.float32)
     with pytest.raises(TypeError, match="neighbor_distances"):

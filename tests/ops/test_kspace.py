@@ -90,6 +90,41 @@ def test_p3m_influence_other_modes_finite(mode, diff_order):
     assert np.all(np.isfinite(np.asarray(inf)))
 
 
+def test_p3m_influence_cell_gradient_consistent():
+    """Cell gradients of the P3M influence function must agree between eager
+    vjp, jvp, jitted vjp, and finite differences on a TRICLINIC cell.
+
+    Regression: a triclinic k-grid produces accidental near-zero k·h entries
+    (~1e-17) where the quotient-rule derivative of sinc suffers catastrophic
+    cancellation — each AD mode produced different O(1)-to-O(1e16) garbage
+    (the jit one broke P3M stress by ~60 absolute).  Fixed by the Taylor
+    branch in ``torchpme_tpu.ops.kspace._sinc``.
+    """
+    cell = (jnp.eye(3) * 10.0).at[1, 0].add(0.8).at[2, 1].add(-0.5)
+    ns = (128, 16, 16)
+    proj = jax.random.normal(jax.random.PRNGKey(0), (128, 16, 9))
+
+    def f(c):
+        return jnp.sum(p3m_influence_function(c, ns, 3, mode=0) * proj)
+
+    tangent = jnp.zeros((3, 3)).at[1, 0].set(1.0)
+    _, jvp_val = jax.jvp(f, (cell,), (tangent,))
+    g_eager = jax.grad(f)(cell)
+    g_jit = jax.jit(jax.grad(f))(cell)
+    eps = 1e-5
+    fd = (f(cell.at[1, 0].add(eps)) - f(cell.at[1, 0].add(-eps))) / (2 * eps)
+    for name, val in (
+        ("jvp", jvp_val),
+        ("eager vjp", g_eager[1, 0]),
+        ("jit vjp", g_jit[1, 0]),
+    ):
+        np.testing.assert_allclose(
+            float(val), float(fd), rtol=1e-6,
+            err_msg=f"{name} cell gradient diverged from finite differences",
+        )
+    np.testing.assert_allclose(np.asarray(g_jit), np.asarray(g_eager), rtol=1e-10)
+
+
 def test_p3m_filter_class(mesh_field):
     cell = jnp.eye(3) * 4.0
     kf = P3MKSpaceFilter(

@@ -179,6 +179,33 @@ def test_spline_potential_explicit_kernels():
     )
 
 
+def test_spline_potential_prefactor_applied_once():
+    """Direct-mode (smearing=None) from_dist scales linearly with prefactor.
+
+    Regression for a prefactor**2 bug: ``from_dist`` wrapped ``prefactor``
+    around ``lr_from_dist``, which already multiplies it (the reference has
+    the same defect at /root/reference/src/torchpme/potentials/spline.py:136).
+    """
+    r_grid = jnp.geomspace(0.1, 10.0, 128)
+    y_grid = 1.0 / r_grid
+    base = SplinePotential(r_grid, y_grid, reciprocal=True)
+    scaled = SplinePotential(r_grid, y_grid, reciprocal=True, prefactor=2.0)
+    r_test = jnp.linspace(0.5, 5.0, 16)
+    np.testing.assert_allclose(
+        scaled.from_dist(r_test), 2.0 * base.from_dist(r_test), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        scaled.lr_from_dist(r_test), 2.0 * base.lr_from_dist(r_test), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        scaled.lr_from_k_sq(r_test**2), 2.0 * base.lr_from_k_sq(r_test**2),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        scaled.self_contribution(), 2.0 * base.self_contribution(), rtol=1e-12
+    )
+
+
 def test_spline_potential_grid_mismatch():
     with pytest.raises(ValueError, match="mismatch"):
         SplinePotential(jnp.linspace(0.1, 1, 8), jnp.zeros(7))

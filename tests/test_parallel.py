@@ -182,6 +182,155 @@ def test_slab_bucketing_validation(system):
     np.testing.assert_array_equal(counts, 1)
 
 
+# ---------------------------------------------------------------------------
+# slab-sharded MD fast path (cell-list window + tiled mesh + Parseval DFT)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def md_system():
+    """Box large enough for 8 cell planes along x at the test cutoff."""
+    rng = np.random.default_rng(11)
+    n, box = 220, 10.0
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)))
+    charges = jnp.asarray(rng.normal(size=(n, 1)))
+    charges = charges - charges.mean()
+    cell = jnp.eye(3) * box
+    return charges, cell, positions
+
+
+MD_NS = (128, 16, 16)  # nx/8 = 16 planes per slab, tile-aligned
+MD_CUTOFF = 1.0
+
+
+def _md_calc(kind):
+    pot = tpme.CoulombPotential(smearing=0.5)
+    if kind == "p3m":
+        return tpme.P3MCalculator(pot, interpolation_nodes=3)
+    return tpme.PMECalculator(pot, interpolation_nodes=4)
+
+
+@pytest.mark.parametrize("calc_kind", ["pme", "p3m"])
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_sharded_md_energy_matches_fast_path(
+    device_mesh, md_system, calc_kind, triclinic
+):
+    """The slab-sharded MD step must equal the single-chip cell-list fast
+    path — energy AND gradients (forces, stress seed, charge derivatives)."""
+    from torchpme_tpu.ops.rspace_cells import compute_cell_list
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy,
+    )
+
+    charges, cell, positions = md_system
+    if triclinic:
+        cell = cell.at[1, 0].add(0.8).at[2, 1].add(-0.5)
+    calc = _md_calc(calc_kind)
+    clist = compute_cell_list(positions, cell, MD_CUTOFF)
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, MD_NS, 8
+    )
+
+    def f_ref(q, c, p):
+        return calc.energy(q, c, p, cell_list=clist, ns_mesh=MD_NS)
+
+    def f_sh(q, c, p):
+        return sharded_md_energy(calc, device_mesh, q, c, p, state)
+
+    e_ref = f_ref(charges, cell, positions)
+    e_sh = jax.jit(f_sh)(charges, cell, positions)
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=1e-12)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(charges, cell, positions)
+    g_sh = jax.jit(jax.grad(f_sh, argnums=(0, 1, 2)))(charges, cell, positions)
+    for name, a, b in zip(("charges", "cell", "positions"), g_ref, g_sh):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-12 * scale,
+            err_msg=f"gradient w.r.t. {name} diverged",
+        )
+
+
+def test_sharded_md_collective_volume(device_mesh, md_system):
+    """The fast-path collectives stay sub-mesh: scalar psums, O(slab-surface)
+    ppermutes, O(mesh/D) all_to_alls — never a full-mesh reduction, and no
+    pair-list or element scatter anywhere on the sharded path."""
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy,
+    )
+
+    charges, cell, positions = md_system
+    calc = _md_calc("pme")
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, MD_NS, 8
+    )
+    fn = jax.jit(
+        lambda q, p: sharded_md_energy(calc, device_mesh, q, cell, p, state)
+    )
+    hlo = fn.lower(charges, positions).compile().as_text()
+
+    import re
+
+    mesh_elems = int(np.prod(MD_NS))
+    assert "all-to-all" in hlo, "distributed DFT transpose missing"
+    assert "collective-permute" in hlo, "halo ring exchange missing"
+    for shape in re.findall(r"all-reduce(?:-start)?\(?\)? ?= ?\(?([^)\n]*)", hlo):
+        for dims in re.findall(r"\w+\[([\d,]+)\]", shape):
+            elems = int(np.prod([int(d) for d in dims.split(",")]))
+            assert elems < mesh_elems // 8, (
+                f"all-reduce of {elems} elements rivals the {mesh_elems}-point "
+                "mesh — a full-mesh reduction crept into the fast path"
+            )
+
+
+def test_sharded_md_stale_state_poisons(device_mesh, md_system):
+    """Atoms drifting out of their cell (or mesh tile) must yield NaN energy
+    AND NaN forces — observable failure, never silently wrong values."""
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy,
+    )
+
+    charges, cell, positions = md_system
+    calc = _md_calc("pme")
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, MD_NS, 8
+    )
+    drifted = positions.at[0, 0].add(float(cell[0, 0]) / 2)
+    fn = jax.jit(
+        lambda p: sharded_md_energy(calc, device_mesh, charges, cell, p, state)
+    )
+    assert bool(jnp.isnan(fn(drifted))), "stale sharded state not detected"
+    forces = jax.jit(jax.grad(fn))(drifted)
+    assert bool(jnp.all(jnp.isnan(forces))), "stale-state forces not poisoned"
+
+
+def test_sharded_md_state_validation(md_system):
+    from torchpme_tpu.parallel import compute_sharded_md_state
+
+    charges, cell, positions = md_system
+    calc = _md_calc("pme")
+    with pytest.raises(ValueError, match="divisible"):
+        compute_sharded_md_state(calc, positions, cell, MD_CUTOFF, (100, 16, 16), 8)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        compute_sharded_md_state(calc, positions, cell, MD_CUTOFF, (64, 16, 16), 8)
+    with pytest.raises(ValueError, match="cell planes"):
+        # cutoff too large for 8 x-slabs of cells
+        compute_sharded_md_state(calc, positions, cell, 2.5, MD_NS, 8)
+    state = compute_sharded_md_state(calc, positions, cell, MD_CUTOFF, MD_NS, 8)
+    # every atom appears exactly once in the cell slabs and once in the tiles
+    idx = np.asarray(state.cl_atom_index)[np.asarray(state.cl_slot_mask)]
+    np.testing.assert_array_equal(
+        np.bincount(idx, minlength=len(positions)), 1
+    )
+    slots = np.asarray(state.tm_atom_of_slot).ravel()
+    np.testing.assert_array_equal(
+        np.bincount(slots[slots < len(positions)], minlength=len(positions)), 1
+    )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver contract: one sharded training step on 8 devices."""
     sys.path.insert(0, str(Path(__file__).parents[1]))

@@ -293,6 +293,11 @@ class Calculator:
                 self.potential, charges, positions, cell, cell_list
             )
         else:
+            if neighbor_indices is None or neighbor_distances is None:
+                raise ValueError(
+                    "Provide `neighbor_indices` and `neighbor_distances`, or a "
+                    "`cell_list` from compute_cell_list"
+                )
             pot_sr = self._compute_rspace(
                 charges=charges,
                 neighbor_indices=neighbor_indices,

@@ -77,6 +77,28 @@ def compute_kspace_filter(kernel_from_k_sq, cell: Array, ns) -> Array:
     return kernel_from_k_sq(k_sq)
 
 
+def _sinc(x: Array) -> Array:
+    r""":math:`\sin(\pi x)/(\pi x)` with derivatives stable near ``x = 0``.
+
+    ``jnp.sinc`` guards only ``x == 0`` exactly, but a triclinic k-grid also
+    produces *accidental near-zeros* (e.g. ``25·b1_y + 2·b2_y ≈ -2e-17`` on
+    this box): there the quotient-rule derivative subtracts two ``ẋ/x``-scale
+    (~1e16) terms whose f64 difference is O(1) garbage — different garbage
+    per AD mode and compilation path (measured: eager-vjp, eager-jvp and
+    jit-vjp all disagreed with finite differences in the P3M influence
+    function's cell gradient).  A Taylor branch for ``|x| < 1e-4`` — value
+    error :math:`(\pi x)^6/5040 \approx 2\cdot10^{-25}` — removes the
+    cancellation from both the primal and every derivative order used here.
+    """
+    small = jnp.abs(x) < 1e-4
+    x_safe = jnp.where(small, 1.0, x)
+    px_sq = (jnp.pi * x) ** 2
+    series = 1.0 - px_sq / 6.0 * (1.0 - px_sq / 20.0)
+    return jnp.where(
+        small, series, jnp.sin(jnp.pi * x_safe) / (jnp.pi * x_safe)
+    )
+
+
 def p3m_influence_function(
     cell: Array,
     ns,
@@ -109,7 +131,7 @@ def p3m_influence_function(
 
     # squared FT of the charge-assignment function (per-mesh-cell volume
     # cancels against the assignment prefactor)
-    u_sq = jnp.prod(jnp.sinc(kh / (2 * jnp.pi)), axis=-1) ** (
+    u_sq = jnp.prod(_sinc(kh / (2 * jnp.pi)), axis=-1) ** (
         2 * interpolation_nodes
     )
 

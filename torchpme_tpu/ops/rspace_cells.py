@@ -99,6 +99,7 @@ def compute_cell_list(
     cutoff: float,
     capacity: int | None = None,
     spill: bool | None = None,
+    x_multiple: int | None = None,
 ):
     """Bucket atoms into cells of edge ≥ ``cutoff`` (host-side, eager).
 
@@ -122,6 +123,10 @@ def compute_cell_list(
         ``capacity`` is ``None``, ``False`` otherwise.  Spilling requires
         every cell-plane distance ≥ 2·cutoff (minimum-image validity for
         the extra-extra pair pass).
+    :param x_multiple: round the cell count along x DOWN to a multiple of
+        this (cells get larger, never smaller than the cutoff) — the
+        x-slab-sharded fast path needs the x cell planes evenly divisible
+        over the device axis.
     """
     pos = np.asarray(positions, dtype=np.float64)
     cell_np = np.asarray(cell, dtype=np.float64)
@@ -133,6 +138,13 @@ def compute_cell_list(
             f"cutoff {cutoff} exceeds a cell plane distance {plane_dist}; "
             "the 27-cell window cannot cover the cutoff sphere"
         )
+    if x_multiple is not None:
+        if n_axis[0] < x_multiple:
+            raise ValueError(
+                f"only {n_axis[0]} cell planes fit along x at cutoff {cutoff}; "
+                f"cannot shard them over {x_multiple} devices"
+            )
+        n_axis[0] -= n_axis[0] % x_multiple
     nx, ny, nz = (int(n) for n in n_axis)
     n_cells = nx * ny * nz
 
@@ -460,9 +472,14 @@ def _chunk_geometry(chunk, k0, pc_t, q_g, mf_g, offs, cutoff_sq, scale_self=Fals
     return pj, qj, pair_ok, d
 
 
-def _we_math(spec, potential, pc_t, q_g, mf_g, offs):
-    """Primal window energy ``Σ_chunks Σ_cij v(d)·q_i·q_j`` (self ½-scaled)."""
+def _we_math(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
+    """Primal window energy ``Σ_chunks Σ_cij v(d)·q_i·q_j`` (self ½-scaled).
+
+    ``qi_g`` optionally replaces the i-side charges (the sharded slab path
+    zeroes the halo plane there so cross-boundary pairs are counted exactly
+    once, by the device owning the lower-x cell)."""
     cutoff, chunks = spec
+    qi = q_g if qi_g is None else qi_g
     cutoff_sq = jnp.asarray(cutoff, pc_t.dtype) ** 2
     e = jnp.zeros((), pc_t.dtype)
     k0 = 0
@@ -471,7 +488,7 @@ def _we_math(spec, potential, pc_t, q_g, mf_g, offs):
             chunk, k0, pc_t, q_g, mf_g, offs, cutoff_sq, scale_self=True
         )
         v = jnp.where(pair_ok, _potential_pair_values(potential, d), 0.0)
-        e = e + jnp.sum(jnp.matmul(v, qj, precision="highest") * q_g)
+        e = e + jnp.sum(jnp.matmul(v, qj, precision="highest") * qi)
         k0 += len(chunk)
     return e
 
@@ -491,7 +508,7 @@ def _add_cotangents(a, b):
     )
 
 
-def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs):
+def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     """One fused pass computing the window energy AND its full gradient.
 
     Because the energy is a *scalar*, every VJP cotangent is just
@@ -518,10 +535,13 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs):
     dtype = pc_t.dtype
     cap = pc_t.shape[-1]
     cutoff_sq = jnp.asarray(cutoff, dtype) ** 2
+    split = qi_g is not None
+    qi = q_g if qi_g is None else qi_g
 
     e = jnp.zeros((), dtype)
     d_pc = jnp.zeros_like(pc_t)
     d_q = jnp.zeros_like(q_g)
+    d_qi = jnp.zeros_like(qi) if split else None
     d_offs = jnp.zeros_like(offs)
     d_pot = None
     k0 = 0
@@ -534,11 +554,14 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs):
         v = okf * v_raw
         # value + i-side charge gradient share one MXU matmul
         mvq = jnp.matmul(v, qj, precision="highest")  # (x,y,z,cap,C)
-        e = e + jnp.sum(mvq * q_g)
-        d_q = d_q + mvq
-        d_qj = jnp.einsum("...ij,...ic->...jc", v, q_g, precision="highest")
+        e = e + jnp.sum(mvq * qi)
+        if split:
+            d_qi = d_qi + mvq
+        else:
+            d_q = d_q + mvq
+        d_qj = jnp.einsum("...ij,...ic->...jc", v, qi, precision="highest")
         # pair weights s_ij = q_i·qj_j V'(d) / d  (zero where masked)
-        q_pair = jnp.einsum("...ic,...jc->...ij", q_g, qj, precision="highest")
+        q_pair = jnp.einsum("...ic,...jc->...ij", qi, qj, precision="highest")
         d_pot_k, dd = pull(okf * q_pair)
         s = dd / d
         rowsum = jnp.sum(s, axis=-1)  # (x,y,z,cap)
@@ -556,6 +579,8 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs):
             d_offs = d_offs.at[k0 + t].add(jnp.sum(blk_p, axis=(0, 1, 2, 4)))
         d_pot = _add_cotangents(d_pot, d_pot_k)
         k0 += len(chunk)
+    if split:
+        return e, (d_pot, d_pc, d_q, jnp.zeros_like(mf_g), d_offs, d_qi)
     return e, (d_pot, d_pc, d_q, jnp.zeros_like(mf_g), d_offs)
 
 
@@ -573,6 +598,22 @@ def _we_bwd(spec, grads, e_bar):
 
 
 _window_energy.defvjp(_we_fwd, _we_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _window_energy_split(spec, potential, pc_t, q_g, mf_g, offs, qi_g):
+    """Window energy with separate i-side charges (sharded slab fast path):
+    same fused value-and-gradient custom VJP as :func:`_window_energy`, with
+    the i- and j-side charge cotangents kept apart so the caller's halo
+    plumbing (differentiable ``ppermute``/``concatenate``) routes them."""
+    return _we_math(spec, potential, pc_t, q_g, mf_g, offs, qi_g)
+
+
+def _we_split_fwd(spec, potential, pc_t, q_g, mf_g, offs, qi_g):
+    return _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g)
+
+
+_window_energy_split.defvjp(_we_split_fwd, _we_bwd)
 
 
 def cell_list_rspace_energy(

@@ -12,11 +12,19 @@ from .sharded import (
     sharded_ewald_potentials,
     sharded_mesh_potentials,
 )
+from .sharded_md import (
+    ShardedMDState,
+    compute_sharded_md_state,
+    sharded_md_energy,
+)
 
 __all__ = [
+    "ShardedMDState",
     "SlabBucketing",
+    "compute_sharded_md_state",
     "compute_slab_bucketing",
     "pad_to_multiple",
     "sharded_ewald_potentials",
+    "sharded_md_energy",
     "sharded_mesh_potentials",
 ]

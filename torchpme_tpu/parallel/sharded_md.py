@@ -1,0 +1,501 @@
+"""Slab-sharded MD fast path: the cell-list + tiled-mesh energy step, SPMD.
+
+This composes the two single-chip fast-path engines over an x-slab device
+mesh — the same formulation as :func:`Calculator.energy` with a ``cell_list``,
+never the pair-scatter or element-scatter paths (which XLA:TPU serializes):
+
+* **real space** — the cell grid's x planes are sharded; each device runs the
+  fused window energy (:mod:`torchpme_tpu.ops.rspace_cells`, torus rolls +
+  MXU pair blocks + analytic-force custom VJP) on its slab extended by ONE
+  ``ppermute``-fetched halo cell plane.  The half-window offsets only ever
+  look at x+1, and the i-side charges are zeroed on the halo plane, so every
+  unordered pair is counted exactly once — by the device owning its lower-x
+  cell.  Per-device halo traffic is O(atoms/slab-surface), and the energy is
+  one scalar ``psum``.
+* **k space** — each device spreads its own atoms with the tile-GEMM backend
+  (:mod:`torchpme_tpu.ops.mesh_tiled`: densified stencils, batched MXU
+  contractions, parity-class folds — no scatters) onto its ``nx/D``-plane
+  mesh slab plus one-tile halo skirts; the skirts ride two ``ppermute`` ring
+  hops, and the energy is the **distributed Parseval quadratic form**:
+  slab-local z/y DFT matmuls, ONE ``all_to_all`` x↔y layout swap, an x DFT,
+  and a filter-weighted ``|ρ̂|²`` sum — half the DFT passes and collectives
+  of the potential-field pipeline (``parallel/sharded.py``), because no
+  inverse transform and no mesh→points gather exist in the forward.  No
+  collective carries the full mesh.
+
+Gradients (forces, stress, charge derivatives) flow through all collectives:
+``psum`` transposes to broadcast, ``ppermute``/``all_to_all`` to their
+inverse permutations, and the window's custom VJP keeps the i-/j-side charge
+cotangents separate so the halo plumbing routes them home.
+
+No reference counterpart — the reference is single-device (SURVEY.md §2);
+this is the build's multi-chip axis applied to its production step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..ops.kspace import (
+    _dft_matrices,
+    _full_dft_matrices,
+    _hermitian_fold_weights,
+)
+from ..ops.mesh import compute_1d_weights
+from ..ops.mesh_tiled import (
+    TILE,
+    TiledInterpolation,
+    _dense_weight_factors,
+    _fold_tiles_to_mesh,
+)
+from ..ops.rspace_cells import (
+    _half_window_chunks,
+    _window_energy_split,
+    compute_cell_list,
+)
+
+__all__ = [
+    "ShardedMDState",
+    "compute_sharded_md_state",
+    "sharded_md_energy",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedMDState:
+    """Host-computed bucketing for the slab-sharded MD step.
+
+    One pytree holding both slab decompositions (cells for real space, mesh
+    tiles for k space), with a leading device axis on every array.  Refresh
+    it like a neighbor list: it stays valid while every atom remains in its
+    assigned cell AND its mesh stencil stays in its assigned tile window;
+    drift beyond either poisons the energy (and its gradients) with NaN.
+    """
+
+    # cell-list x-slabs: (D, bx·ny·nz cells, cap)
+    cl_atom_index: Array
+    cl_slot_mask: Array
+    cl_atom_wrap: Array  # (D, cells, cap, 3) int8
+    # mesh-tile x-slabs: (D, tiles, K) global atom ids (n_atoms for empty)
+    tm_atom_of_slot: Array
+    n_axis: tuple[int, int, int] = field(metadata=dict(static=True))
+    cutoff: float = field(metadata=dict(static=True))
+    ns_mesh: tuple[int, int, int] = field(metadata=dict(static=True))
+    nodes: int = field(metadata=dict(static=True))
+    method: str = field(metadata=dict(static=True))
+    n_devices: int = field(metadata=dict(static=True))
+    n_atoms: int = field(metadata=dict(static=True))
+
+
+def compute_sharded_md_state(
+    calc,
+    positions,
+    cell,
+    cutoff: float,
+    ns_mesh=None,
+    n_devices: int = 8,
+    cell_capacity: int | None = None,
+    tile_capacity: int | None = None,
+) -> ShardedMDState:
+    """Bucket atoms into per-device cell and mesh-tile slabs (host, eager).
+
+    :param calc: a mesh calculator (PME/P3M); supplies ``interpolation_nodes``
+        and the weight method.
+    :param cutoff: real-space cutoff (as for :func:`compute_cell_list`).
+    :param ns_mesh: mesh shape; computed from ``calc.get_ns_mesh(cell)`` when
+        omitted.  ``nx`` must satisfy ``nx % n_devices == 0`` with
+        ``nx/n_devices`` a multiple of 16, and ``ny`` must be a multiple of
+        both 16 and ``n_devices`` (power-of-two meshes on 2^k devices with
+        nx ≥ 16·D satisfy all of this).
+    """
+    if ns_mesh is None:
+        ns_mesh = calc.get_ns_mesh(cell)
+    ns_mesh = tuple(int(n) for n in ns_mesh)
+    nodes = int(calc.interpolation_nodes)
+    method = calc._method
+    nx, ny, nz = ns_mesh
+    D = int(n_devices)
+    if nx % D:
+        raise ValueError(f"mesh nx={nx} must be divisible by {D} devices")
+    mx = nx // D
+    if mx % (2 * TILE):
+        raise ValueError(
+            f"mesh slab of {mx} planes must be a multiple of {2 * TILE} for "
+            "the tiled slab spread (use a finer mesh or fewer devices)"
+        )
+    if ny % (2 * TILE) or ny % D:
+        raise ValueError(
+            f"mesh ny={ny} must be a multiple of {2 * TILE} and of the "
+            f"{D}-device axis (for the distributed-DFT layout swap)"
+        )
+    if nodes > TILE + 1:
+        raise ValueError(f"interpolation_nodes={nodes} exceeds the tile halo")
+
+    # --- real space: x-sharded cell list (no spill: the side list would need
+    # the full grid, defeating the sharding; capacity covers the fullest cell)
+    clist = compute_cell_list(
+        positions, cell, cutoff, capacity=cell_capacity, spill=False,
+        x_multiple=D,
+    )
+    nxc, nyc, nzc = clist.n_axis
+    cellcap = clist.slot_mask.shape[1]
+    per_dev = (nxc // D) * nyc * nzc
+    cl_atom_index = clist.atom_index.reshape(D, per_dev, cellcap)
+    cl_slot_mask = clist.slot_mask.reshape(D, per_dev, cellcap)
+    cl_atom_wrap = clist.atom_wrap.reshape(D, per_dev, cellcap, 3)
+
+    # --- k space: per-device mesh-tile tables on the extended local slab.
+    # Atoms are assigned by the x plane of their (wrapped) stencil START, so
+    # stencils only ever extend rightward into the right halo tile; the left
+    # halo tile exists for layout symmetry with the ring fold.
+    pos = np.asarray(positions, dtype=np.float64)
+    inv = np.linalg.inv(np.asarray(cell, dtype=np.float64))
+    rel = pos @ inv
+    rel -= np.floor(rel)
+    rel *= np.asarray(ns_mesh)
+    if nodes % 2 == 0:
+        base = np.floor(rel).astype(np.int64)
+    else:
+        base = np.round(rel).astype(np.int64)
+    shift0 = 1 - (nodes + 1) // 2
+    start = (base + shift0) % np.asarray(ns_mesh)
+    dev = start[:, 0] // mx
+    local_x = start[:, 0] - dev * mx + TILE  # ∈ [TILE, TILE + mx)
+    ty_count = ny // TILE
+    tx_local = mx // TILE + 2
+    n_tiles = tx_local * ty_count
+    tile_flat = dev * n_tiles + (local_x // TILE) * ty_count + start[:, 1] // TILE
+
+    counts = np.bincount(tile_flat, minlength=D * n_tiles)
+    n_atoms = pos.shape[0]
+    if tile_capacity is None:
+        # same sizing rule as compute_tiled_interpolation's eager auto-capacity
+        capacity = int(-(-min(n_atoms, int(counts.max()) + 8) // 64) * 64)
+    else:
+        capacity = int(tile_capacity)
+        if counts.max() > capacity:
+            raise ValueError(
+                f"tile_capacity {capacity} below the fullest tile "
+                f"({counts.max()} atoms)"
+            )
+    order = np.argsort(tile_flat, kind="stable")
+    starts_ = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_in = np.arange(n_atoms) - starts_[tile_flat[order]]
+    atom_of_slot = np.full((D * n_tiles, capacity), n_atoms, dtype=np.int32)
+    atom_of_slot[tile_flat[order], rank_in] = order
+    tm_atom_of_slot = jnp.asarray(atom_of_slot.reshape(D, n_tiles, capacity))
+
+    return ShardedMDState(
+        cl_atom_index=cl_atom_index,
+        cl_slot_mask=cl_slot_mask,
+        cl_atom_wrap=cl_atom_wrap,
+        tm_atom_of_slot=tm_atom_of_slot,
+        n_axis=(nxc, nyc, nzc),
+        cutoff=float(clist.cutoff),
+        ns_mesh=ns_mesh,
+        nodes=nodes,
+        method=method,
+        n_devices=D,
+        n_atoms=n_atoms,
+    )
+
+
+def _slab_window_energy(
+    potential, charges, cell, positions, cl_idx, cl_mask, cl_wrap,
+    n_axis, cutoff, rank, axis_name, n_dev,
+):
+    """Local slab's fused window energy + 1-plane halo exchange.
+
+    The slab analog of ``rspace_cells._prepare`` + ``_window_energy``: cell
+    centers come from the device's global cell ids; the right neighbor's
+    first x plane of cells rides one ``ppermute`` (center-relative
+    coordinates make the periodic wrap cancel, including across the global
+    boundary), and the i-side charges are zeroed on the halo plane so each
+    unordered pair is counted exactly once globally.  Returns
+    ``(e_local, valid_local)``.
+    """
+    dtype = positions.dtype
+    nxc, nyc, nzc = n_axis
+    bx = nxc // n_dev
+    n_cells_local, cap = cl_mask.shape
+    n_axis_f = jnp.asarray([nxc, nyc, nzc], dtype=dtype)
+    n_channels = charges.shape[1]
+
+    mask_b = cl_mask
+    pos_b = positions[cl_idx] - jnp.matmul(
+        cl_wrap.astype(dtype), cell, precision="highest"
+    )
+    q_b = charges.astype(dtype)[cl_idx] * mask_b[..., None].astype(dtype)
+
+    home = rank * n_cells_local + jnp.arange(n_cells_local, dtype=jnp.int32)
+    home3 = jnp.stack(
+        [home // (nyc * nzc), (home // nzc) % nyc, home % nzc], axis=-1
+    ).astype(dtype)
+    centers = jnp.matmul((home3 + 0.5) / n_axis_f, cell, precision="highest")
+    pc = (pos_b - centers[:, None, :]) * mask_b[..., None].astype(dtype)
+    pc_t = jnp.moveaxis(pc.reshape(bx, nyc, nzc, cap, 3), -1, -2)
+    q_g = q_b.reshape(bx, nyc, nzc, cap, n_channels)
+    mf_g = mask_b.reshape(bx, nyc, nzc, cap).astype(dtype)
+
+    # staleness of the local slab (same tolerance as the single-chip path)
+    pc_sg = lax.stop_gradient(pc_t)
+    inv_cell = jnp.linalg.inv(lax.stop_gradient(cell))
+    frac_t = jnp.einsum(
+        "fe,xyzfa->xyzea", inv_cell * n_axis_f[None, :], pc_sg,
+        precision="highest",
+    )
+    valid = jnp.all(jnp.abs(frac_t) < 0.5 + 1e-4)
+
+    # halo: receive the right neighbor's first plane (source i sends to i-1)
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    pc_ext = jnp.concatenate(
+        [pc_t, lax.ppermute(pc_t[:1], axis_name, left)], axis=0
+    )
+    q_ext = jnp.concatenate(
+        [q_g, lax.ppermute(q_g[:1], axis_name, left)], axis=0
+    )
+    mf_ext = jnp.concatenate(
+        [mf_g, lax.ppermute(mf_g[:1], axis_name, left)], axis=0
+    )
+    i_scale = (jnp.arange(bx + 1) < bx).astype(dtype)
+    qi_ext = q_ext * i_scale[:, None, None, None, None]
+
+    chunks = _half_window_chunks(cap)
+    flat = [o for chunk in chunks for o in chunk]
+    offs = jnp.matmul(
+        jnp.asarray(flat, dtype) / n_axis_f, cell, precision="highest"
+    )
+    # the custom VJP produces device-varying cotangents for these replicated
+    # inputs; pcast marks them varying here so shard_map's type check passes
+    # and the pcast transpose inserts the cross-device psum of the cotangents
+    offs = lax.pcast(offs, (axis_name,), to="varying")
+    potential = jax.tree_util.tree_map(
+        lambda x: lax.pcast(jnp.asarray(x), (axis_name,), to="varying"),
+        potential,
+    )
+    e_local = _window_energy_split(
+        (float(cutoff), chunks), potential, pc_ext, q_ext, mf_ext, offs, qi_ext
+    )
+    return e_local, valid
+
+
+def _slab_tiled_density(
+    charges, cell, positions, atom_slot, ns_mesh, nodes, method, rank,
+    axis_name, n_dev,
+):
+    """Spread the device's atoms onto its extended mesh slab with tile GEMMs
+    and fold the halo skirts into the ring neighbors.  Returns
+    ``(interior (C, nx/D, ny, nz), valid_local)`` — the differentiable slab
+    analog of ``mesh_tiled.refresh_tiled_interpolation`` +
+    ``tiled_points_to_mesh`` (weights recomputed from the current positions
+    every step, so gradients are exact)."""
+    dtype = positions.dtype
+    nx, ny, nz = ns_mesh
+    mx = nx // n_dev
+    ext = mx + 2 * TILE
+    n_tiles, capacity = atom_slot.shape
+    n_atoms = positions.shape[0]
+    n_channels = charges.shape[1]
+    ty_count = ny // TILE
+
+    padded_pos = jnp.concatenate(
+        [positions, jnp.zeros((1, 3), dtype)], axis=0
+    )
+    pos_slots = padded_pos[atom_slot]  # (T, K, 3)
+    inverse_cell = jnp.linalg.inv(cell)
+    frac = jnp.einsum(
+        "tka,ab->tkb", pos_slots, inverse_cell, precision="highest"
+    )
+    frac = frac - jnp.floor(frac)  # wrap into the cell (zero-gradient shift)
+    rel = frac * jnp.asarray(ns_mesh, dtype=dtype)
+    if nodes % 2 == 0:
+        base = jnp.floor(rel).astype(jnp.int32)
+        offsets = rel - (base + 0.5)
+    else:
+        base = jnp.round(rel).astype(jnp.int32)
+        offsets = rel - base
+    weights = jnp.moveaxis(
+        compute_1d_weights(offsets, nodes, method), 0, -1
+    )  # (T, K, 3, n)
+    shift0 = 1 - (nodes + 1) // 2
+    start = (base + shift0) % jnp.asarray(ns_mesh, dtype=jnp.int32)
+
+    # rebase x onto the extended slab; y/z stay global (periodic wrap)
+    lx = start[:, :, 0] - rank * mx + TILE
+    tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    origin_x = (tile_idx // ty_count * TILE)[:, None]
+    origin_y = (tile_idx % ty_count * TILE)[:, None]
+    loc_x = lx - origin_x
+    loc_y = (start[:, :, 1] - origin_y) % ny
+
+    empty = atom_slot == n_atoms
+    valid = jnp.all(
+        empty | ((loc_x >= 0) & (loc_x < TILE) & (loc_y < TILE))
+    )
+    weights = jnp.where(empty[..., None, None], 0.0, weights)
+    interp = TiledInterpolation(
+        local_x=jnp.where(empty, 0, loc_x).astype(jnp.int32),
+        local_y=jnp.where(empty, 0, loc_y).astype(jnp.int32),
+        start_z=jnp.where(empty, 0, start[:, :, 2]).astype(jnp.int32),
+        weights=weights,
+        slot_of_atom=jnp.zeros((0,), jnp.int32),  # unused on this path
+        dropped=jnp.zeros((), jnp.int32),
+        atom_of_slot=atom_slot,
+        ns=(ext, ny, nz),
+        nodes=nodes,
+    )
+    wxy, wz = _dense_weight_factors(interp)
+    padded_q = jnp.concatenate(
+        [charges.astype(dtype), jnp.zeros((1, n_channels), dtype)], axis=0
+    )
+    q_slots = padded_q[atom_slot]  # (T, K, C)
+    qz = wz[..., None] * q_slots[:, :, None, :]
+    extent = TILE + nodes - 1
+    rho_tiles = lax.dot_general(
+        wxy.reshape(n_tiles, capacity, extent * extent),
+        qz.reshape(n_tiles, capacity, nz * n_channels),
+        (((1,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    ).reshape(n_tiles, extent, extent, nz, n_channels)
+    rho_ext = _fold_tiles_to_mesh(rho_tiles, (ext, ny, nz), nodes)
+
+    # fold the halo skirts into the ring neighbors' interiors
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = lax.ppermute(rho_ext[:, ext - TILE :], axis_name, right)
+    from_right = lax.ppermute(rho_ext[:, :TILE], axis_name, left)
+    interior = rho_ext[:, TILE : TILE + mx]
+    interior = interior.at[:, :TILE].add(from_left)
+    interior = interior.at[:, mx - TILE :].add(from_right)
+    return interior, valid
+
+
+def _dft_quadratic_sharded(interior, kfilter_local, axis_name, n_dev):
+    """Distributed Parseval quadratic form ``Σ_k w_kz K̂ |ρ̂|²``: slab-local
+    z/y DFT matmuls, ONE ``all_to_all`` x↔y layout swap, the x DFT, and the
+    filter-weighted local sum — the forward half of
+    ``sharded._dft_filter_sharded`` (the inverse transforms only exist in
+    autodiff's backward).  ``kfilter_local`` is the (nx, ny/D, kz) y-shard of
+    the global filter.  Returns the device-local partial (``psum`` to total).
+    """
+    dtype = interior.dtype
+    block, ny, nz = interior.shape[-3:]
+    Pr = "highest"
+
+    crz, srz = _dft_matrices(nz, dtype)
+    re = jnp.einsum("cxyz,zk->cxyk", interior, crz, precision=Pr)
+    im = jnp.einsum("cxyz,zk->cxyk", interior, srz, precision=Pr)
+
+    cfy, sfy = _full_dft_matrices(ny, dtype, -1)
+    re, im = (
+        jnp.einsum("cxyk,yw->cxwk", re, cfy, precision=Pr)
+        - jnp.einsum("cxyk,yw->cxwk", im, sfy, precision=Pr),
+        jnp.einsum("cxyk,yw->cxwk", re, sfy, precision=Pr)
+        + jnp.einsum("cxyk,yw->cxwk", im, cfy, precision=Pr),
+    )
+
+    # layout swap: (C, nx/D, ny, kz) → (C, nx, ny/D, kz)
+    re = lax.all_to_all(re, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    im = lax.all_to_all(im, axis_name, split_axis=2, concat_axis=1, tiled=True)
+
+    nx = block * n_dev
+    cfx, sfx = _full_dft_matrices(nx, dtype, -1)
+    re, im = (
+        jnp.einsum("cxwk,xu->cuwk", re, cfx, precision=Pr)
+        - jnp.einsum("cxwk,xu->cuwk", im, sfx, precision=Pr),
+        jnp.einsum("cxwk,xu->cuwk", re, sfx, precision=Pr)
+        + jnp.einsum("cxwk,xu->cuwk", im, cfx, precision=Pr),
+    )
+    fold = jnp.asarray(_hermitian_fold_weights(nz), dtype)
+    return jnp.sum((re**2 + im**2) * (fold * kfilter_local))
+
+
+def sharded_md_energy(
+    calc,
+    device_mesh: Mesh,
+    charges: Array,
+    cell: Array,
+    positions: Array,
+    state: ShardedMDState,
+    axis: str = "atoms",
+) -> Array:
+    r"""Total energy :math:`E = \sum_i q_i V_i`, SPMD over ``device_mesh[axis]``.
+
+    Matches ``calc.energy(charges, cell, positions, cell_list=...,
+    ns_mesh=state.ns_mesh)`` — the single-chip MD fast path — including all
+    gradients (``jax.grad`` w.r.t. positions/charges/cell gives forces,
+    charge derivatives, and the stress virial through every collective).
+    ``state`` comes from :func:`compute_sharded_md_state`; refresh it like a
+    neighbor list (stale states NaN-poison the energy and its gradients).
+    """
+    n_dev = device_mesh.shape[axis]
+    if n_dev != state.n_devices:
+        raise ValueError(
+            f"state was built for {state.n_devices} devices, mesh axis "
+            f"'{axis}' has {n_dev}"
+        )
+    if charges.shape[0] != state.n_atoms:
+        raise ValueError(
+            f"state was built for {state.n_atoms} atoms, got {charges.shape[0]}"
+        )
+    potential = calc.potential
+    kfilter = calc._kspace_filter(cell, state.ns_mesh)  # (nx, ny, kz)
+
+    def local(charges, cell, positions, cl_idx, cl_mask, cl_wrap, atom_slot,
+              kf_local):
+        rank = lax.axis_index(axis)
+        cl_idx, cl_mask, cl_wrap = cl_idx[0], cl_mask[0], cl_wrap[0]
+        atom_slot = atom_slot[0]
+
+        e_r, valid_r = _slab_window_energy(
+            potential, charges, cell, positions, cl_idx, cl_mask, cl_wrap,
+            state.n_axis, state.cutoff, rank, axis, n_dev,
+        )
+        interior, valid_m = _slab_tiled_density(
+            charges, cell, positions, atom_slot, state.ns_mesh, state.nodes,
+            state.method, rank, axis, n_dev,
+        )
+        e_k = _dft_quadratic_sharded(interior, kf_local, axis, n_dev)
+
+        # staleness on ANY device corrupts halos globally: poison the local
+        # partials (the NaN rides the psum, and — multiplicatively — the VJP)
+        flag = jnp.where(valid_r & valid_m, 1.0, jnp.nan).astype(e_r.dtype)
+        e_r = lax.psum(e_r * flag, axis)
+        e_k = lax.psum(e_k * flag, axis)
+        return e_r, e_k
+
+    e_r, e_quad = shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(axis), P(axis), P(axis), P(axis),
+            P(None, axis, None),
+        ),
+        out_specs=(P(), P()),
+    )(
+        charges, cell, positions,
+        state.cl_atom_index, state.cl_slot_mask, state.cl_atom_wrap,
+        state.tm_atom_of_slot,
+        kfilter,
+    )
+
+    # k-space corrections, identical to PMECalculator._compute_kspace_energy
+    volume = jnp.abs(jnp.linalg.det(cell))
+    e_k = e_quad / volume
+    e_k = e_k - potential.self_contribution() * jnp.sum(charges**2)
+    charge_tot = jnp.sum(charges, axis=0)
+    e_k = e_k - 2 * potential.background_correction() * jnp.sum(
+        charge_tot**2
+    ) / volume
+    return e_r + e_k / 2

@@ -138,10 +138,13 @@ class SplinePotential(Potential):
     # -- evaluation ------------------------------------------------------------
 
     def from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
-        # without a separate full spline, the total is LR (+ zero SR)
-        return self.prefactor * (
-            self.lr_from_dist(dist, pair_mask) + self.sr_from_dist(dist, pair_mask)
-        )
+        # Without a separate full spline, the total is LR (+ zero SR).  The
+        # sub-methods already apply ``prefactor``; applying it again here
+        # would square it — a deliberate divergence from the reference, which
+        # has exactly that bug (/root/reference/src/torchpme/potentials/
+        # spline.py:136 wraps prefactor around lr_from_dist which multiplies
+        # it again at :154).
+        return self.lr_from_dist(dist, pair_mask) + self.sr_from_dist(dist, pair_mask)
 
     def sr_from_dist(self, dist: Array, pair_mask: Array | None = None) -> Array:
         return jnp.zeros_like(dist)
