@@ -123,7 +123,6 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
     import jax.numpy as jnp
 
     import torchpme_tpu as tpme
-    from torchpme_tpu.ops.rspace_cells import compute_cell_list
 
     dtype = jnp.float32
     charges_j = jnp.asarray(charges, dtype=dtype)
@@ -137,22 +136,14 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
     )
     ns_mesh = calc.get_ns_mesh(cell_j)
 
-    # cell list + tile bucketing reused across steps like a neighbor list
-    # (both are refreshed from the positions inside the step)
-    from torchpme_tpu.ops.mesh_tiled import compute_tiled_interpolation
+    # bucket-order MD state (GROMACS-style): positions live in cell-bucket
+    # rows across steps, so the step pays no bucket gather and the force
+    # comes back with no scatter; rebucket on drift like a neighbor list
+    fp = tpme.MDFastPath.create(calc, positions_j, cell_j, CUTOFF, ns_mesh)
+    rows0 = fp.bucket(positions_j)
 
-    clist = compute_cell_list(positions, cell, CUTOFF)
-    tiled_interp = compute_tiled_interpolation(
-        positions_j, jnp.linalg.inv(cell_j), ns_mesh, nodes, "Lagrange"
-    )
-
-    def energy(positions):
-        # Calculator.energy: the real-space sum contracts in cell-bucket
-        # order, skipping the bucket→atom scatter of the per-atom API
-        return calc.energy(
-            charges_j, cell_j, positions,
-            cell_list=clist, ns_mesh=ns_mesh, tiled_interp=tiled_interp,
-        )
+    def energy(pos_rows):
+        return fp.energy(charges_j, cell_j, pos_rows)
 
     # full forces w.r.t. positions: the real-space chain (gather + norm +
     # scatter of the dr̂ terms) AND the k-space chain, one MD force evaluation
@@ -173,15 +164,15 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
 
         return jax.lax.fori_loop(0, CHAIN, body, (positions, jnp.float32(0)))
 
-    out = chained(positions_j)
+    out = chained(rows0)
     _ = float(out[1])  # compile + sync
     times = []
     for _i in range(max(1, N_REPEAT // 3)):
         start = time.monotonic()
-        out = chained(positions_j)
+        out = chained(rows0)
         _ = float(out[1])  # host sync once per chain
         times.append((time.monotonic() - start) / CHAIN)
-    e_single = float(energy(positions_j))
+    e_single = float(energy(rows0))
     return float(np.median(times) * 1e3), ns_mesh, e_single
 
 

@@ -179,6 +179,20 @@ def test_spline_potential_explicit_kernels():
     )
 
 
+def test_coulomb_sr_derivative_matches_autodiff():
+    """The analytic MD-fast-path hook must equal d(sr_from_dist)/dr."""
+    for smearing, prefactor in ((1.0, 1.0), (0.43, 2.5)):
+        pot = CoulombPotential(smearing=smearing, prefactor=prefactor)
+        r = jnp.linspace(0.3, 6.0, 64)
+        sr = pot.sr_from_dist(r)
+        analytic = pot.sr_derivative(r, sr)
+        autodiff = jax.vmap(jax.grad(lambda x: pot.sr_from_dist(x)))(r)
+        # atol floors the erfc-underflow tail (values ~1e-18 at r >> sigma)
+        np.testing.assert_allclose(
+            np.asarray(analytic), np.asarray(autodiff), rtol=1e-12, atol=1e-16
+        )
+
+
 def test_spline_potential_prefactor_applied_once():
     """Direct-mode (smearing=None) from_dist scales linearly with prefactor.
 

@@ -1,0 +1,156 @@
+"""Bucket-order MD state API: the production step without per-step gathers.
+
+The rows layout must be an exact re-parameterization of the generic fast
+path — same energies, same gradients (up to the row permutation), same
+NaN-staleness contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchpme_tpu as tpme
+from torchpme_tpu.ops.rspace_cells import compute_cell_list
+
+
+@pytest.fixture(scope="module")
+def system():
+    rng = np.random.default_rng(5)
+    n, box = 150, 8.0
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)))
+    charges = jnp.asarray(rng.normal(size=(n, 1)))
+    charges = charges - charges.mean()
+    cell = jnp.eye(3) * box
+    return charges, cell, positions
+
+
+NS = (32, 32, 32)
+CUTOFF = 1.0
+
+
+def _calc(kind="pme"):
+    pot = tpme.CoulombPotential(smearing=0.5)
+    if kind == "p3m":
+        return tpme.P3MCalculator(pot, interpolation_nodes=3)
+    return tpme.PMECalculator(pot, interpolation_nodes=4)
+
+
+@pytest.mark.parametrize("calc_kind", ["pme", "p3m"])
+def test_md_fastpath_matches_generic_fast_path(system, calc_kind):
+    charges, cell, positions = system
+    calc = _calc(calc_kind)
+    fp = tpme.MDFastPath.create(calc, positions, cell, CUTOFF, NS)
+    rows = fp.bucket(positions)
+    clist = compute_cell_list(positions, cell, CUTOFF)
+
+    def f_rows(q, c, r):
+        return fp.energy(q, c, r)
+
+    def f_ref(q, c, p):
+        return calc.energy(q, c, p, cell_list=clist, ns_mesh=NS)
+
+    e_rows = jax.jit(f_rows)(charges, cell, rows)
+    e_ref = f_ref(charges, cell, positions)
+    np.testing.assert_allclose(float(e_rows), float(e_ref), rtol=1e-11)
+
+    g_rows = jax.jit(jax.grad(f_rows, argnums=(0, 1, 2)))(charges, cell, rows)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(charges, cell, positions)
+    np.testing.assert_allclose(
+        np.asarray(g_rows[0]), np.asarray(g_ref[0]), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_rows[1]), np.asarray(g_ref[1]), atol=1e-10
+    )
+    # row-layout forces equal atom-order forces after unbucketing
+    np.testing.assert_allclose(
+        np.asarray(fp.unbucket(g_rows[2])), np.asarray(g_ref[2]), atol=1e-11
+    )
+    # padded rows carry no force
+    force_norms = jnp.linalg.norm(g_rows[2], axis=-1)
+    occupied = jnp.zeros(fp.n_rows, bool).at[fp.row_of_atom].set(True)
+    np.testing.assert_allclose(
+        np.asarray(force_norms[~occupied]), 0.0, atol=1e-12
+    )
+
+
+def test_md_fastpath_bucket_roundtrip(system):
+    charges, cell, positions = system
+    fp = tpme.MDFastPath.create(_calc(), positions, cell, CUTOFF, NS)
+    rows = fp.bucket(positions)
+    np.testing.assert_allclose(
+        np.asarray(fp.unbucket(rows)), np.asarray(positions), rtol=0, atol=0
+    )
+
+
+def test_md_fastpath_spill_extras(system):
+    """A clustered system spills into the side list; rows cover the extras."""
+    charges, cell, positions = system
+    rng = np.random.default_rng(9)
+    cluster = 0.5 + 0.3 * jnp.asarray(rng.uniform(size=(40, 3)))
+    positions2 = jnp.concatenate([positions, cluster])
+    charges2 = jnp.concatenate([charges, jnp.ones((40, 1))])
+    charges2 = charges2 - charges2.mean()
+    fp = tpme.MDFastPath.create(_calc(), positions2, cell, CUTOFF, NS)
+    assert fp.clist.extra_index is not None, "test system did not spill"
+    rows = fp.bucket(positions2)
+    clist = compute_cell_list(positions2, cell, CUTOFF)
+    e_rows = jax.jit(fp.energy)(charges2, cell, rows)
+    e_ref = _calc().energy(charges2, cell, positions2, cell_list=clist, ns_mesh=NS)
+    np.testing.assert_allclose(float(e_rows), float(e_ref), rtol=1e-11)
+
+
+def test_md_fastpath_stale_rows_poison(system):
+    charges, cell, positions = system
+    fp = tpme.MDFastPath.create(_calc(), positions, cell, CUTOFF, NS)
+    rows = fp.bucket(positions)
+    drifted = rows.at[int(fp.row_of_atom[0]), 0].add(float(cell[0, 0]) / 2)
+    e = jax.jit(fp.energy)(charges, cell, drifted)
+    assert bool(jnp.isnan(e)), "stale rows not detected"
+    f = jax.jit(jax.grad(fp.energy, argnums=2))(charges, cell, drifted)
+    assert bool(jnp.all(jnp.isnan(f[jnp.asarray(fp.row_of_atom)]))), (
+        "stale-row forces not poisoned"
+    )
+
+
+def test_md_fastpath_rebucket(system):
+    charges, cell, positions = system
+    fp = tpme.MDFastPath.create(_calc(), positions, cell, CUTOFF, NS)
+    rows = fp.bucket(positions)
+    drifted = rows.at[int(fp.row_of_atom[0]), 0].add(float(cell[0, 0]) / 2)
+    fp2 = fp.rebucket(drifted, cell)
+    rows2 = fp2.bucket(fp.unbucket(drifted))
+    e = jax.jit(fp2.energy)(charges, cell, rows2)
+    assert bool(jnp.isfinite(e)), "rebucketed energy should be finite"
+
+
+def test_md_fastpath_validation(system):
+    charges, cell, positions = system
+    with pytest.raises(ValueError, match="tile"):
+        tpme.MDFastPath.create(_calc(), positions, cell, CUTOFF, (24, 24, 24))
+
+
+def test_analytic_force_hook_engaged(system):
+    """The Coulomb fast path must use the analytic V'(d), and a trainable
+    (traced) potential must fall back to the vjp pullback with correct
+    parameter gradients."""
+    from torchpme_tpu.ops.rspace_cells import (
+        _can_use_analytic_derivative,
+        cell_list_rspace_energy,
+    )
+
+    charges, cell, positions = system
+    pot = tpme.CoulombPotential(smearing=0.5)
+    assert _can_use_analytic_derivative(pot)
+    clist = compute_cell_list(positions, cell, CUTOFF)
+
+    # smearing gradient through the fast path (forces the traced branch)
+    def e_of_smearing(s):
+        return cell_list_rspace_energy(
+            tpme.CoulombPotential(smearing=s), charges, positions, cell, clist
+        )
+
+    g = jax.grad(e_of_smearing)(0.5)
+    eps = 1e-6
+    fd = (e_of_smearing(0.5 + eps) - e_of_smearing(0.5 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)

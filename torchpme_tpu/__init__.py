@@ -8,7 +8,7 @@ masked ``vmap`` batching, error-bound-driven auto-tuning, and pjit/shard_map
 multi-chip sharding.
 """
 
-from . import calculators, ops, parallel, potentials, prefactors, tuning, utils  # noqa: F401
+from . import calculators, md, ops, parallel, potentials, prefactors, tuning, utils  # noqa: F401
 from ._version import __version__  # noqa: F401
 from .calculators import (
     Calculator,
@@ -17,6 +17,7 @@ from .calculators import (
     P3MCalculator,
     PMECalculator,
 )
+from .md import MDFastPath
 from .potentials import (
     CombinedPotential,
     CoulombPotential,
@@ -38,4 +39,5 @@ __all__ = [
     "CombinedPotential",
     "PotentialDipole",
     "CalculatorDipole",
+    "MDFastPath",
 ]

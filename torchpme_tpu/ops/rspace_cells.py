@@ -42,6 +42,7 @@ from jax import Array, lax
 __all__ = [
     "CellList",
     "cell_list_rspace_energy",
+    "cell_list_rspace_energy_rows",
     "cell_list_rspace_potentials",
     "compute_cell_list",
 ]
@@ -273,24 +274,39 @@ def _prepare(charges, positions, cell, clist):
     coordinates as their image), so torus ``jnp.roll`` fetches are exact.
     """
     dtype = positions.dtype
-    n_atoms, n_channels = charges.shape
-    nx, ny, nz = clist.n_axis
-    n_axis = jnp.asarray([nx, ny, nz], dtype=dtype)
-    n_cells, cap = clist.slot_mask.shape
-
     # positions and charges ride SEPARATE row gathers on purpose: in an MD
     # loop the charges are constant while positions change every step, and a
     # combined gather would make the whole charge side position-dependent,
     # blocking XLA from constant-folding/hoisting the q-side rolls and
     # products of the pair window (measured 2× on the window core at 102k
     # atoms on a v5e when q_g is traced instead of constant)
+    return _prepare_bucketed(
+        charges.astype(dtype)[clist.atom_index],
+        positions[clist.atom_index],
+        cell,
+        clist,
+    )
+
+
+def _prepare_bucketed(q_raw, pos_raw, cell, clist):
+    """Window inputs from positions/charges ALREADY in bucket order — the
+    bucket-order MD state API (:mod:`torchpme_tpu.md`) enters here, skipping
+    the O(atoms) gather (and its scatter transpose in the force pass)
+    entirely.  ``pos_raw``/``q_raw`` are ``(n_cells, cap, …)``, raw
+    (un-canonicalized) just like ``positions[clist.atom_index]`` would be."""
+    dtype = pos_raw.dtype
+    n_channels = q_raw.shape[-1]
+    nx, ny, nz = clist.n_axis
+    n_axis = jnp.asarray([nx, ny, nz], dtype=dtype)
+    n_cells, cap = clist.slot_mask.shape
+
     mask_b = clist.slot_mask
     # canonicalize into the cell image the bucketing assigned (atoms need not
     # be wrapped into the cell; triclinic skew also un-wraps some corners)
-    pos_b = positions[clist.atom_index] - jnp.matmul(
+    pos_b = pos_raw - jnp.matmul(
         clist.atom_wrap.astype(dtype), cell, precision="highest"
     )
-    q_b = charges.astype(dtype)[clist.atom_index] * mask_b[..., None].astype(dtype)
+    q_b = q_raw * mask_b[..., None].astype(dtype)
 
     home = jnp.arange(n_cells, dtype=jnp.int32)
     home3 = jnp.stack(
@@ -336,13 +352,24 @@ def _prepare_extras(charges, positions, cell, clist):
     positions, masked charges, and the extras' staleness flag (an extra must
     stay inside its recorded home cell, like any bucketed atom)."""
     dtype = positions.dtype
+    return _prepare_extras_bucketed(
+        charges.astype(dtype)[clist.extra_index],
+        positions[clist.extra_index],
+        cell,
+        clist,
+    )
+
+
+def _prepare_extras_bucketed(qe_raw, pe_raw, cell, clist):
+    """Extras prep from rows already in side-list order (bucket-order API)."""
+    dtype = pe_raw.dtype
     nx, ny, nz = clist.n_axis
     n_axis = jnp.asarray([nx, ny, nz], dtype)
     mask = clist.extra_mask
-    pe_abs = positions[clist.extra_index] - jnp.matmul(
+    pe_abs = pe_raw - jnp.matmul(
         clist.extra_wrap.astype(dtype), cell, precision="highest"
     )
-    qe = charges.astype(dtype)[clist.extra_index] * mask[:, None].astype(dtype)
+    qe = qe_raw * mask[:, None].astype(dtype)
     centers = jnp.matmul(
         (clist.extra_cell.astype(dtype) + 0.5) / n_axis, cell, precision="highest"
     )
@@ -478,7 +505,7 @@ def _we_math(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     ``qi_g`` optionally replaces the i-side charges (the sharded slab path
     zeroes the halo plane there so cross-boundary pairs are counted exactly
     once, by the device owning the lower-x cell)."""
-    cutoff, chunks = spec
+    cutoff, chunks = spec[0], spec[1]
     qi = q_g if qi_g is None else qi_g
     cutoff_sq = jnp.asarray(cutoff, pc_t.dtype) ** 2
     e = jnp.zeros((), pc_t.dtype)
@@ -508,6 +535,34 @@ def _add_cotangents(a, b):
     )
 
 
+def _can_use_analytic_derivative(potential) -> bool:
+    """Whether the fast path may use the potential's ``sr_derivative`` hook.
+
+    Usable only when (a) the hook exists, (b) the pair term actually is
+    ``sr_from_dist`` (range-separated, no exclusion window — the branch
+    structure of :func:`_potential_pair_values`), and (c) every potential
+    parameter is a concrete constant: the analytic path produces no
+    potential-parameter cotangents, so trainable potentials (traced leaves)
+    must keep the ``jax.vjp`` pullback.
+
+    MUST be evaluated at the *call site* of the window custom VJP, not inside
+    it: under eager ``jax.grad`` the custom-VJP forward receives concrete
+    primals, so a tracer check there cannot see that a parameter is being
+    differentiated (regression: the smearing gradient silently came out 0).
+    The verdict rides the static ``spec`` into the VJP.
+    """
+    if getattr(potential, "sr_derivative", None) is None:
+        return False
+    if getattr(potential, "smearing", None) is None:
+        return False
+    if getattr(potential, "exclusion_radius", None) is not None:
+        return False
+    return not any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree_util.tree_leaves(potential)
+    )
+
+
 def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     """One fused pass computing the window energy AND its full gradient.
 
@@ -531,12 +586,15 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
       supplies ``V'(d)``, so trainable potentials (e.g. ``CombinedPotential``
       weights) train through the fast path too.
     """
-    cutoff, chunks = spec
+    cutoff, chunks = spec[0], spec[1]
+    use_analytic = spec[2] if len(spec) > 2 else False
     dtype = pc_t.dtype
     cap = pc_t.shape[-1]
     cutoff_sq = jnp.asarray(cutoff, dtype) ** 2
     split = qi_g is not None
     qi = q_g if qi_g is None else qi_g
+
+    deriv = getattr(potential, "sr_derivative", None) if use_analytic else None
 
     e = jnp.zeros((), dtype)
     d_pc = jnp.zeros_like(pc_t)
@@ -550,7 +608,12 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
             chunk, k0, pc_t, q_g, mf_g, offs, cutoff_sq, scale_self=True
         )
         okf = pair_ok.astype(dtype)
-        v_raw, pull = jax.vjp(_potential_pair_values, potential, d)
+        if deriv is not None:
+            # analytic V'(d): reuses v, skips the pullback's erf-chain rewalk
+            v_raw = _potential_pair_values(potential, d)
+            d_pot_k = None
+        else:
+            v_raw, pull = jax.vjp(_potential_pair_values, potential, d)
         v = okf * v_raw
         # value + i-side charge gradient share one MXU matmul
         mvq = jnp.matmul(v, qj, precision="highest")  # (x,y,z,cap,C)
@@ -562,7 +625,10 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
         d_qj = jnp.einsum("...ij,...ic->...jc", v, qi, precision="highest")
         # pair weights s_ij = q_i·qj_j V'(d) / d  (zero where masked)
         q_pair = jnp.einsum("...ic,...jc->...ij", qi, qj, precision="highest")
-        d_pot_k, dd = pull(okf * q_pair)
+        if deriv is not None:
+            dd = (okf * q_pair) * deriv(d, v_raw)
+        else:
+            d_pot_k, dd = pull(okf * q_pair)
         s = dd / d
         rowsum = jnp.sum(s, axis=-1)  # (x,y,z,cap)
         colsum = jnp.sum(s, axis=-2)  # (x,y,z,W)
@@ -579,6 +645,12 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
             d_offs = d_offs.at[k0 + t].add(jnp.sum(blk_p, axis=(0, 1, 2, 4)))
         d_pot = _add_cotangents(d_pot, d_pot_k)
         k0 += len(chunk)
+    if d_pot is None:
+        # analytic path: parameters are concrete constants, their cotangents
+        # are discarded by the caller — return a structurally-correct zero
+        d_pot = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(jnp.asarray(x)), potential
+        )
     if split:
         return e, (d_pot, d_pc, d_q, jnp.zeros_like(mf_g), d_offs, d_qi)
     return e, (d_pot, d_pc, d_q, jnp.zeros_like(mf_g), d_offs)
@@ -594,7 +666,19 @@ def _we_bwd(spec, grads, e_bar):
             return x
         return e_bar * x
 
-    return tuple(jax.tree_util.tree_map(scale, g) for g in grads)
+    use_analytic = spec[2] if len(spec) > 2 else False
+    out = []
+    for i, g in enumerate(grads):
+        if i == 0 and use_analytic:
+            # analytic mode: the potential cotangent is a structural zeros
+            # tree.  Return it UNSCALED — multiplying by ``e_bar`` would be a
+            # numeric no-op but, under ``shard_map``, would promote the zeros
+            # to device-varying while the (un-pcast) primal stays replicated,
+            # tripping the custom-VJP type check.
+            out.append(g)
+        else:
+            out.append(jax.tree_util.tree_map(scale, g))
+    return tuple(out)
 
 
 _window_energy.defvjp(_we_fwd, _we_bwd)
@@ -636,7 +720,11 @@ def cell_list_rspace_energy(
     pc_t, q_g, mf_g, offs, valid, chunks = _prepare(
         charges, positions, cell, clist
     )
-    spec = (float(clist.cutoff), chunks)
+    spec = (
+        float(clist.cutoff),
+        chunks,
+        _can_use_analytic_derivative(potential),
+    )
     if hasattr(potential, "from_dist"):
         pot_obj = potential
         e0 = _window_energy(spec, potential, pc_t, q_g, mf_g, offs)
@@ -650,6 +738,47 @@ def cell_list_rspace_energy(
         )
         valid = valid & valid_e
     # NaN-poison through a multiply so gradients are poisoned too
+    return e0 * jnp.where(valid, 1.0, jnp.nan).astype(e0.dtype)
+
+
+def cell_list_rspace_energy_rows(
+    potential, charges: Array, pos_rows: Array, cell: Array, clist: CellList
+) -> Array:
+    r"""Window energy from positions in bucket-ROW order — no O(atoms) gather.
+
+    ``pos_rows`` is the ``(n_cells·cap [+ E_pad], 3)`` bucket-order layout
+    produced by :meth:`torchpme_tpu.md.MDFastPath.bucket`; its force
+    gradient comes back in the same layout with no scatter (the per-step
+    gather AND its transpose measured ~2.6 ms at 102k atoms on a v5e).
+    Values and position/cell gradients equal
+    :func:`cell_list_rspace_energy` up to the row permutation.
+    """
+    n_cells, cap = clist.slot_mask.shape
+    nb = n_cells * cap
+    dtype = pos_rows.dtype
+    pc_t, q_g, mf_g, offs, valid, chunks = _prepare_bucketed(
+        charges.astype(dtype)[clist.atom_index],
+        pos_rows[:nb].reshape(n_cells, cap, 3),
+        cell,
+        clist,
+    )
+    spec = (
+        float(clist.cutoff),
+        chunks,
+        _can_use_analytic_derivative(potential),
+    )
+    e0 = _window_energy(spec, potential, pc_t, q_g, mf_g, offs)
+    if clist.extra_index is not None:
+        pe, pe_abs, qe, valid_e = _prepare_extras_bucketed(
+            charges.astype(dtype)[clist.extra_index],
+            pos_rows[nb:].reshape(-1, 3),
+            cell,
+            clist,
+        )
+        e0 = e0 + _extras_energy(
+            potential, pc_t, q_g, mf_g, pe, pe_abs, qe, clist, cell
+        )
+        valid = valid & valid_e
     return e0 * jnp.where(valid, 1.0, jnp.nan).astype(e0.dtype)
 
 

@@ -276,14 +276,22 @@ def _slab_window_energy(
     )
     # the custom VJP produces device-varying cotangents for these replicated
     # inputs; pcast marks them varying here so shard_map's type check passes
-    # and the pcast transpose inserts the cross-device psum of the cotangents
+    # and the pcast transpose inserts the cross-device psum of the cotangents.
+    # Gate the analytic-derivative hook BEFORE the pcast (pcast wraps the
+    # leaves in tracers, which the gate reads as "trainable"); in analytic
+    # mode the potential cotangent is a constant zero, so no pcast is needed.
+    from ..ops.rspace_cells import _can_use_analytic_derivative
+
+    use_analytic = _can_use_analytic_derivative(potential)
     offs = lax.pcast(offs, (axis_name,), to="varying")
-    potential = jax.tree_util.tree_map(
-        lambda x: lax.pcast(jnp.asarray(x), (axis_name,), to="varying"),
-        potential,
-    )
+    if not use_analytic:
+        potential = jax.tree_util.tree_map(
+            lambda x: lax.pcast(jnp.asarray(x), (axis_name,), to="varying"),
+            potential,
+        )
     e_local = _window_energy_split(
-        (float(cutoff), chunks), potential, pc_ext, q_ext, mf_ext, offs, qi_ext
+        (float(cutoff), chunks, use_analytic),
+        potential, pc_ext, q_ext, mf_ext, offs, qi_ext,
     )
     return e_local, valid
 

@@ -93,6 +93,25 @@ class CoulombPotential(Potential):
             result = result * pair_mask
         return self.prefactor * result
 
+    def sr_derivative(self, dist: Array, sr_values: Array) -> Array:
+        r"""Analytic :math:`dV_{SR}/dr` for the MD fast path (no-exclusion case).
+
+        With :math:`\alpha = 1/(\sigma\sqrt2)` and
+        :math:`V_{SR} = p\,\mathrm{erfc}(\alpha r)/r`:
+
+        .. math:: V_{SR}' = -\frac{V_{SR}}{r}
+                  - p\,\frac{2\alpha}{\sqrt\pi}\,\frac{e^{-\alpha^2 r^2}}{r}
+
+        Reuses the already-computed ``sr_values`` so the only new
+        transcendental is one ``exp`` pass — cheaper than the ``jax.vjp``
+        pullback, which re-walks the erf/erfc chain.
+        """
+        alpha = 1.0 / (self.smearing * 2.0**0.5)
+        gauss = jnp.exp(-((alpha * dist) ** 2))
+        return -sr_values / dist - self.prefactor * (
+            2.0 * alpha / jnp.pi**0.5
+        ) * gauss / dist
+
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         if self.smearing is None:
             raise ValueError(

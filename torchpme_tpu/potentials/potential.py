@@ -115,6 +115,16 @@ class Potential:
             f"lr_from_dist is not implemented for {type(self).__name__}"
         )
 
+    #: Optional analytic-force hook: subclasses may override with a method
+    #: ``sr_derivative(dist, sr_values) -> dV_SR/d(dist)`` (``sr_values`` is
+    #: the already-computed ``sr_from_dist(dist)`` for factor reuse).  The
+    #: cell-list MD fast path uses it — when present, the no-exclusion case
+    #: applies, and the potential's parameters are concrete — to skip the
+    #: ``jax.vjp`` pullback of the pair kernel in its fused value-and-gradient
+    #: pass; ``None`` (the default) keeps the autodiff pullback, which also
+    #: carries potential-parameter gradients for trainable potentials.
+    sr_derivative = None
+
     # -- reciprocal space ----------------------------------------------------
 
     def lr_from_k_sq(self, k_sq: Array) -> Array:
