@@ -193,6 +193,21 @@ def test_coulomb_sr_derivative_matches_autodiff():
         )
 
 
+def test_coulomb_sr_pair_force_matches_derivative():
+    """sr_pair_force(d, vq, vq*V) must equal vq * sr_derivative(d, V)."""
+    for smearing, prefactor in ((1.0, 1.0), (0.43, 2.5)):
+        pot = CoulombPotential(smearing=smearing, prefactor=prefactor)
+        r = jnp.linspace(0.3, 6.0, 64)
+        vq = jnp.linspace(-2.0, 2.0, 64)
+        sr = pot.sr_from_dist(r)
+        np.testing.assert_allclose(
+            np.asarray(pot.sr_pair_force(r, vq, vq * sr)),
+            np.asarray(vq * pot.sr_derivative(r, sr)),
+            rtol=1e-12,
+            atol=1e-16,
+        )
+
+
 def test_spline_potential_prefactor_applied_once():
     """Direct-mode (smearing=None) from_dist scales linearly with prefactor.
 

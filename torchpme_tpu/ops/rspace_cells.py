@@ -595,6 +595,9 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     qi = q_g if qi_g is None else qi_g
 
     deriv = getattr(potential, "sr_derivative", None) if use_analytic else None
+    pair_force = (
+        getattr(potential, "sr_pair_force", None) if use_analytic else None
+    )
 
     e = jnp.zeros((), dtype)
     d_pc = jnp.zeros_like(pc_t)
@@ -614,21 +617,38 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
             d_pot_k = None
         else:
             v_raw, pull = jax.vjp(_potential_pair_values, potential, d)
+        # pair weights s_ij = q_i·qj_j V'(d) / d  (zero where masked)
+        q_pair = jnp.einsum("...ic,...jc->...ij", qi, qj, precision="highest")
+        vq = okf * q_pair
+        # energy rides the force pass: Σ (okf·q_pair)·V.  (The earlier
+        # `sum(matmul(okf·V, qj)·qi)` form paid a full window
+        # materialization + MXU matmul for the value alone: 5.3 ms at 102k
+        # atoms on a v5e when forces were also requested.)
+        if pair_force is not None:
+            # force phrased IN TERMS OF the energy product: one shared
+            # pairE tensor feeds both, so XLA cannot split the expensive
+            # V(d) producer into two fusions (which the generic form below
+            # suffers: both the e-reduction and the dd chain re-derive
+            # erfc, ~4.3 ms of duplicated transcendentals at 102k)
+            pair_e = vq * v_raw
+            e = e + jnp.sum(pair_e)
+            dd = pair_force(d, vq, pair_e)
+        elif deriv is not None:
+            e = e + jnp.sum(vq * v_raw)
+            dd = vq * deriv(d, v_raw)
+        else:
+            e = e + jnp.sum(vq * v_raw)
+            d_pot_k, dd = pull(vq)
+        # charge cotangents (XLA removes these whole chains — including the
+        # `v` materialization and both contractions — when the caller does
+        # not differentiate w.r.t. charges, the common MD case)
         v = okf * v_raw
-        # value + i-side charge gradient share one MXU matmul
         mvq = jnp.matmul(v, qj, precision="highest")  # (x,y,z,cap,C)
-        e = e + jnp.sum(mvq * qi)
         if split:
             d_qi = d_qi + mvq
         else:
             d_q = d_q + mvq
         d_qj = jnp.einsum("...ij,...ic->...jc", v, qi, precision="highest")
-        # pair weights s_ij = q_i·qj_j V'(d) / d  (zero where masked)
-        q_pair = jnp.einsum("...ic,...jc->...ij", qi, qj, precision="highest")
-        if deriv is not None:
-            dd = (okf * q_pair) * deriv(d, v_raw)
-        else:
-            d_pot_k, dd = pull(okf * q_pair)
         s = dd / d
         rowsum = jnp.sum(s, axis=-1)  # (x,y,z,cap)
         colsum = jnp.sum(s, axis=-2)  # (x,y,z,W)

@@ -112,6 +112,29 @@ class CoulombPotential(Potential):
             2.0 * alpha / jnp.pi**0.5
         ) * gauss / dist
 
+    def sr_pair_force(self, dist: Array, vq: Array, pair_e: Array) -> Array:
+        r"""Pair-force numerator :math:`q_iq_j\,V'_{SR}(r)` from the shared
+        energy product (``pair_e`` = :math:`q_iq_j V_{SR}`, ``vq`` =
+        :math:`q_iq_j` masked).
+
+        Same math as ``vq * sr_derivative(...)`` — but phrased so the force
+        *consumes* the energy product instead of recomputing :math:`V_{SR}`:
+
+        .. math:: q_iq_jV' = -\bigl(q_iq_jV
+                  + q_iq_j\,p\,\tfrac{2\alpha}{\sqrt\pi}e^{-\alpha^2r^2}
+                  \bigr)/r
+
+        This matters under XLA fusion: with the generic form the energy
+        reduction and the force chain each pull the erfc producer into their
+        own fusion (the whole chain computed twice, ~4.3 ms at 102k atoms on
+        a v5e); with this form both consume one ``pair_e`` tensor and the
+        energy is free.
+        """
+        alpha = 1.0 / (self.smearing * 2.0**0.5)
+        gauss = jnp.exp(-((alpha * dist) ** 2))
+        c = self.prefactor * 2.0 * alpha / jnp.pi**0.5
+        return -(pair_e + vq * (c * gauss)) / dist
+
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         if self.smearing is None:
             raise ValueError(

@@ -125,6 +125,15 @@ class Potential:
     #: carries potential-parameter gradients for trainable potentials.
     sr_derivative = None
 
+    #: Stronger optional variant: ``sr_pair_force(dist, vq, pair_e) -> dd``
+    #: returning the pair-force numerator :math:`q_iq_jV'` *in terms of* the
+    #: masked charge product ``vq`` and the pair energy ``pair_e = vq·V_SR``.
+    #: When both hooks exist this one wins: sharing the ``pair_e`` tensor
+    #: between the energy reduction and the force chain stops XLA from
+    #: duplicating the ``V(d)`` producer into two fusions (measured ~4.3 ms
+    #: of repeated erfc at 102k atoms on a v5e with the generic hook).
+    sr_pair_force = None
+
     # -- reciprocal space ----------------------------------------------------
 
     def lr_from_k_sq(self, k_sq: Array) -> Array:
