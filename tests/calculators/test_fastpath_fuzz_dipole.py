@@ -1,0 +1,168 @@
+"""Randomized equivalence battery for the dipolar MD fast path.
+
+For random (triclinic) systems of point dipoles, the cell-list window
+engine (:mod:`torchpme_tpu.ops.rspace_cells_dipole`) composed with the
+Ewald k-space term must reproduce the neighbor-list per-atom-potential
+path: energies and all gradients (positions, dipoles, cell), under jit.
+Mirrors ``test_fastpath_fuzz.py`` for the scalar calculators.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchpme_tpu import CalculatorDipole, PotentialDipole
+from torchpme_tpu.ops.rspace_cells import compute_cell_list
+from torchpme_tpu.utils.neighbors import neighbor_list
+
+
+def _random_system(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 90))
+    box = float(rng.uniform(7.0, 10.0))
+    skew = rng.uniform(-0.4, 0.4, size=3)
+    cell = jnp.asarray(
+        [[box, 0, 0], [skew[0], box, 0], [skew[1], skew[2], box]]
+    )
+    positions = jnp.asarray(rng.uniform(-1.0, box + 1.0, (n, 3)))
+    dipoles = jnp.asarray(rng.normal(size=(n, 3)))
+    cutoff = float(rng.uniform(2.0, 2.8))
+    return positions, dipoles, cell, cutoff, rng
+
+
+def _assert_match(e_fast, e_ref, args):
+    e1, g1 = jax.jit(jax.value_and_grad(e_fast, argnums=(0, 1, 2)))(*args)
+    e2, g2 = jax.value_and_grad(e_ref, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-10)
+    for a, b in zip(g1, g2):
+        scale = max(1e-10, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-9 * scale
+        )
+
+
+@pytest.mark.parametrize("seed", [401, 402, 403])
+def test_dipole_ewald_fast_path_matches_reference_path(seed):
+    positions, dipoles, cell, cutoff, rng = _random_system(seed)
+    smearing = float(rng.uniform(0.8, 1.2))
+    calc = CalculatorDipole(
+        PotentialDipole(smearing=smearing), lr_wavelength=1.0
+    )
+    ns_k = calc.get_ns_kvectors(cell)
+    idx, _dist, shifts = map(
+        jnp.asarray,
+        neighbor_list(np.asarray(positions), np.asarray(cell), cutoff),
+    )
+    clist = compute_cell_list(positions, cell, cutoff, capacity=64, spill=False)
+
+    def e_fast(p, m, c):
+        return calc.energy(m, c, p, cell_list=clist, ns_kvectors=ns_k)
+
+    def e_ref(p, m, c):
+        vec = p[idx[:, 1]] - p[idx[:, 0]] + shifts.astype(p.dtype) @ c
+        return jnp.sum(calc(m, c, p, idx, vec, ns_kvectors=ns_k) * m)
+
+    _assert_match(e_fast, e_ref, (positions, dipoles, cell))
+
+
+@pytest.mark.parametrize("seed", [411, 412])
+def test_dipole_direct_fast_path_matches_reference_path(seed):
+    """Direct mode (no smearing): full 1/r^3 kernel on the same pair set."""
+    positions, dipoles, cell, cutoff, _rng = _random_system(seed)
+    calc = CalculatorDipole(PotentialDipole())
+    idx, _dist, shifts = map(
+        jnp.asarray,
+        neighbor_list(np.asarray(positions), np.asarray(cell), cutoff),
+    )
+    clist = compute_cell_list(positions, cell, cutoff, capacity=64, spill=False)
+
+    def e_fast(p, m, c):
+        return calc.energy(m, c, p, cell_list=clist)
+
+    def e_ref(p, m, c):
+        vec = p[idx[:, 1]] - p[idx[:, 0]] + shifts.astype(p.dtype) @ c
+        return jnp.sum(calc(m, c, p, idx, vec) * m)
+
+    _assert_match(e_fast, e_ref, (positions, dipoles, cell))
+
+
+def test_dipole_exclusion_radius_fast_path():
+    """Windowed-LR mode (exclusion_radius set) through the scalar kernels."""
+    positions, dipoles, cell, cutoff, _rng = _random_system(421)
+    calc = CalculatorDipole(
+        PotentialDipole(smearing=1.0, exclusion_radius=cutoff),
+        lr_wavelength=1.0,
+    )
+    ns_k = calc.get_ns_kvectors(cell)
+    idx, _dist, shifts = map(
+        jnp.asarray,
+        neighbor_list(np.asarray(positions), np.asarray(cell), cutoff),
+    )
+    clist = compute_cell_list(positions, cell, cutoff, capacity=64, spill=False)
+
+    def e_fast(p, m, c):
+        return calc.energy(m, c, p, cell_list=clist, ns_kvectors=ns_k)
+
+    def e_ref(p, m, c):
+        vec = p[idx[:, 1]] - p[idx[:, 0]] + shifts.astype(p.dtype) @ c
+        return jnp.sum(calc(m, c, p, idx, vec, ns_kvectors=ns_k) * m)
+
+    _assert_match(e_fast, e_ref, (positions, dipoles, cell))
+
+
+def test_dipole_cell_list_rejects_spill():
+    positions, dipoles, cell, cutoff, _rng = _random_system(431)
+    calc = CalculatorDipole(PotentialDipole())
+    clist = compute_cell_list(positions, cell, cutoff, capacity=1, spill=True)
+    with pytest.raises(ValueError, match="overflow side list"):
+        calc.energy(dipoles, cell, positions, cell_list=clist)
+
+
+def test_dipole_energy_requires_some_pair_source():
+    positions, dipoles, cell, _cutoff, _rng = _random_system(441)
+    calc = CalculatorDipole(PotentialDipole())
+    with pytest.raises(ValueError, match="cell_list"):
+        calc.energy(dipoles, cell, positions)
+
+
+def test_dipole_energy_rejects_both_pair_sources():
+    positions, dipoles, cell, cutoff, _rng = _random_system(451)
+    calc = CalculatorDipole(PotentialDipole())
+    idx, _d, shifts = map(
+        jnp.asarray,
+        neighbor_list(np.asarray(positions), np.asarray(cell), cutoff),
+    )
+    vec = positions[idx[:, 1]] - positions[idx[:, 0]] + shifts @ cell
+    clist = compute_cell_list(positions, cell, cutoff, capacity=64, spill=False)
+    with pytest.raises(ValueError, match="not both"):
+        calc.energy(
+            dipoles,
+            cell,
+            positions,
+            neighbor_indices=idx,
+            neighbor_vectors=vec,
+            cell_list=clist,
+        )
+
+
+def test_dipole_scalar_kernels_match_tensor_kernels():
+    """(B, C) scalars must reproduce the 3×3 tensor kernels element-wise."""
+    rng = np.random.default_rng(461)
+    vec = jnp.asarray(rng.normal(size=(32, 3)) * 2.0)
+    d = jnp.linalg.norm(vec, axis=1)
+    eye = jnp.eye(3)
+    outer = vec[:, :, None] * vec[:, None, :]
+    for pot in (
+        PotentialDipole(prefactor=1.7),
+        PotentialDipole(smearing=1.1, prefactor=0.6),
+        PotentialDipole(smearing=0.9, exclusion_radius=3.0, exclusion_degree=2),
+    ):
+        if pot.smearing is None:
+            b, c = pot.scalar_kernels(d)
+            ref = pot.from_dist(vec)
+        else:
+            b, c = pot.sr_scalar_kernels(d)
+            ref = pot.sr_from_dist(vec)
+        built = b[:, None, None] * eye[None] - c[:, None, None] * outer
+        np.testing.assert_allclose(np.asarray(built), np.asarray(ref), atol=1e-13)

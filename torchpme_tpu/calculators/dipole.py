@@ -165,6 +165,73 @@ class CalculatorDipole:
         )
         return energy / 2
 
+    def energy(
+        self,
+        dipoles: Array,
+        cell: Array,
+        positions: Array,
+        neighbor_indices: Array | None = None,
+        neighbor_vectors: Array | None = None,
+        pair_mask: Array | None = None,
+        cell_list=None,
+        kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+    ) -> Array:
+        r"""Total dipolar energy :math:`E = \sum_i \vec V_i\cdot\vec\mu_i`
+        (scalar) — the MD fast path for dipolar systems.
+
+        On the ``cell_list`` path the real-space sum runs through the
+        gather-free window engine
+        (:func:`~torchpme_tpu.ops.rspace_cells_dipole.cell_list_rspace_dipole_energy`)
+        without materializing per-pair 3×3 tensors; ``jax.grad`` w.r.t.
+        ``positions`` gives minus the forces, w.r.t. ``dipoles`` the fields.
+        Matches ``sum(calc(...) * dipoles)`` on the same pair set.
+        """
+        validate_parameters(
+            charges=dipoles,
+            cell=cell,
+            positions=positions,
+            neighbor_indices=neighbor_indices,
+            neighbor_distances=(
+                jnp.linalg.norm(neighbor_vectors, axis=-1)
+                if neighbor_vectors is not None
+                else None
+            ),
+        )
+        if cell_list is not None:
+            from ..ops.rspace_cells_dipole import cell_list_rspace_dipole_energy
+
+            if neighbor_indices is not None or neighbor_vectors is not None:
+                raise ValueError(
+                    "Pass either a neighbor list or a `cell_list`, not both"
+                )
+            e_sr = cell_list_rspace_dipole_energy(
+                self.potential, dipoles, positions, cell, cell_list
+            )
+        else:
+            if neighbor_indices is None or neighbor_vectors is None:
+                raise ValueError(
+                    "Provide `neighbor_indices` and `neighbor_vectors`, or a "
+                    "`cell_list` from compute_cell_list"
+                )
+            pot_sr = self._compute_rspace(
+                dipoles=dipoles,
+                neighbor_indices=neighbor_indices,
+                neighbor_vectors=neighbor_vectors,
+                pair_mask=pair_mask,
+            )
+            e_sr = jnp.sum(pot_sr * dipoles)
+        if self.potential.smearing is None:
+            return e_sr
+        pot_lr = self._compute_kspace(
+            dipoles=dipoles,
+            cell=cell,
+            positions=positions,
+            kvectors=kvectors,
+            ns_kvectors=ns_kvectors,
+        )
+        return e_sr + jnp.sum(pot_lr * dipoles)
+
     def __call__(
         self,
         dipoles: Array,

@@ -112,6 +112,57 @@ class PotentialDipole:
             b_term[..., None] * eye[None] - outer * c_term[..., None]
         )
 
+    # -- scalar (B, C) forms -------------------------------------------------
+    #
+    # Every tensor kernel above is ``B(r)·I − C(r)·r⊗r``.  The cell-list
+    # window engine (:mod:`torchpme_tpu.ops.rspace_cells_dipole`) contracts
+    # the dipoles with the *scalars* instead of materializing (…, 3, 3)
+    # tensors per pair: ``μᵢᵀKμⱼ = B(μᵢ·μⱼ) − C(μᵢ·r)(μⱼ·r)``.
+
+    def scalar_kernels(self, dist: Array) -> tuple[Array, Array]:
+        r"""Direct-mode ``(B, C)`` with ``B = p/r³``, ``C = 3p/r⁵``."""
+        inv_r2 = 1.0 / dist**2
+        b = self.prefactor * inv_r2 / dist
+        return b, 3.0 * b * inv_r2
+
+    def _lr_scalar_kernels(self, dist: Array) -> tuple[Array, Array]:
+        alpha = 1 / (2 * self.smearing**2)
+        r2 = dist**2
+        erfc_term = jax.scipy.special.erfc(jnp.sqrt(alpha) * dist)
+        gauss = 2 * jnp.sqrt(alpha / jnp.pi) * jnp.exp(-alpha * r2)
+        b = 1.0 / dist**3 - erfc_term / dist**3 - gauss / r2
+        c = (
+            3.0 / dist**5
+            - 3.0 * erfc_term / dist**5
+            - gauss * (2 * alpha + 3 / r2) / r2
+        )
+        return self.prefactor * b, self.prefactor * c
+
+    def sr_scalar_kernels(self, dist: Array) -> tuple[Array, Array]:
+        r"""Short-range ``(B, C)`` scalars (Ewald split, or windowed LR).
+
+        Consistent with :meth:`sr_from_dist`:
+        ``sr_from_dist(v) == B(|v|)·I − C(|v|)·v⊗v`` element-wise.
+        """
+        if self.smearing is None:
+            raise ValueError(
+                "Cannot compute range-separated potential when `smearing` is "
+                "not specified."
+            )
+        b_lr, c_lr = self._lr_scalar_kernels(dist)
+        if self.exclusion_radius is None:
+            b_full, c_full = self.scalar_kernels(dist)
+            return b_full - b_lr, c_full - c_lr
+        r_c = self.exclusion_radius
+        f = jnp.where(
+            dist < r_c,
+            1
+            - ((1 - jnp.cos(jnp.pi * (dist / r_c))) * 0.5)
+            ** self.exclusion_degree,
+            0.0,
+        )
+        return -b_lr * f, -c_lr * f
+
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         """Same Gaussian-screened Fourier kernel as the Coulomb potential."""
         if self.smearing is None:
