@@ -118,13 +118,17 @@ class PMECalculator(Calculator):
         kvectors,
         ns_mesh,
         tiled_interp: TiledInterpolation | None,
+        energy_only: bool = False,
     ):
         """Spread the charges onto the mesh (shared by the per-atom potential
         path and the quadratic energy fast path).
 
         Returns ``(rho_mesh, interp, mesh_valid, use_tiled, use_dft, ns_mesh)``
         where ``mesh_valid`` is the on-device validity flag of the tiled fast
-        path (``None`` on the scatter path)."""
+        path (``None`` on the scatter path).  With ``energy_only`` (the
+        quadratic fast path — no mesh→points gather downstream) and
+        ``mesh_backend="fused"``, the bucket refresh and the spread run as
+        one fused Pallas kernel (:mod:`torchpme_tpu.ops.pallas.spread_fused`)."""
         if kvectors is not None:
             raise NotImplementedError(
                 "Mesh calculators build their own k-grid; precomputed `kvectors` "
@@ -138,7 +142,7 @@ class PMECalculator(Calculator):
             ns_mesh = self.get_ns_mesh(cell)
         ns_mesh = tuple(int(n) for n in ns_mesh)
 
-        if self.mesh_backend == "tiled":
+        if self.mesh_backend in ("tiled", "fused"):
             use_tiled = True
         elif self.mesh_backend == "scatter":
             use_tiled = False
@@ -154,6 +158,45 @@ class PMECalculator(Calculator):
             import jax.core as _core
 
             if tiled_interp is not None:
+                from ..ops.pallas.spread_fused import (
+                    fused_tiled_density,
+                    supports_fused,
+                )
+
+                if (
+                    self.mesh_backend == "fused"
+                    and energy_only
+                    and supports_fused(tiled_interp, positions.dtype)
+                ):
+                    # one fused kernel: weights in VMEM, no (T,K,3,n) HBM
+                    # round trip, derivative-stencil force VJP
+                    rho_mesh, mesh_valid = fused_tiled_density(
+                        tiled_interp,
+                        positions,
+                        jnp.linalg.inv(cell),
+                        charges,
+                        self._method,
+                    )
+                    import jax.core as _core
+
+                    if not isinstance(mesh_valid, _core.Tracer) and not bool(
+                        mesh_valid
+                    ):
+                        raise ValueError(
+                            "The provided `tiled_interp` bucketing is stale: "
+                            "atoms have drifted out of their tile's stencil "
+                            "window (or it was built with overflow). Rebucket "
+                            "with compute_tiled_interpolation, like "
+                            "refreshing a neighbor list."
+                        )
+                    return (
+                        rho_mesh,
+                        tiled_interp,
+                        mesh_valid,
+                        True,
+                        self._use_dft(ns_mesh),
+                        ns_mesh,
+                    )
                 # bucket reuse (MD fast path): refresh only the per-slot
                 # geometry from the current positions — differentiable, and
                 # ~15 ms/step cheaper than rebucketing at 100k atoms.
@@ -200,17 +243,16 @@ class PMECalculator(Calculator):
             )
             rho_mesh = points_to_mesh(interp, charges)
 
-        if self.fft_backend == "dft":
-            use_dft = True
-        elif self.fft_backend == "fft":
-            use_dft = False
-        else:
-            import jax as _jax
+        return rho_mesh, interp, mesh_valid, use_tiled, self._use_dft(ns_mesh), ns_mesh
 
-            use_dft = (
-                max(ns_mesh) <= 256 and _jax.default_backend() not in ("cpu",)
-            )
-        return rho_mesh, interp, mesh_valid, use_tiled, use_dft, ns_mesh
+    def _use_dft(self, ns_mesh) -> bool:
+        if self.fft_backend == "dft":
+            return True
+        if self.fft_backend == "fft":
+            return False
+        import jax as _jax
+
+        return max(ns_mesh) <= 256 and _jax.default_backend() not in ("cpu",)
 
     def _compute_kspace(
         self,
@@ -291,7 +333,8 @@ class PMECalculator(Calculator):
         """
         rho_mesh, interp, mesh_valid, use_tiled, use_dft, ns_mesh = (
             self._mesh_density(
-                charges, cell, positions, kvectors, ns_mesh, tiled_interp
+                charges, cell, positions, kvectors, ns_mesh, tiled_interp,
+                energy_only=True,
             )
         )
         kfilter = self._kspace_filter(cell, ns_mesh)

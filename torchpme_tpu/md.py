@@ -98,6 +98,7 @@ class MDFastPath:
         ns_mesh=None,
         cell_capacity: int | None = None,
         tile_capacity: int | None = None,
+        mesh_impl: str = "tiled",
     ) -> "MDFastPath":
         """Bucket ``positions`` for ``calc`` (host-side, eager).
 
@@ -106,6 +107,9 @@ class MDFastPath:
         :param cutoff: real-space cutoff for the cell list.
         :param ns_mesh: static mesh shape (``calc.get_ns_mesh(cell)`` when
             omitted).
+        :param mesh_impl: ``"tiled"`` (XLA tile-GEMM) or ``"fused"`` (the
+            single-kernel Pallas spread of
+            :mod:`torchpme_tpu.ops.pallas.spread_fused`; float32 state).
         """
         import dataclasses
 
@@ -122,7 +126,11 @@ class MDFastPath:
             )
         # the rows layout is consumed by the tile refresh: pin the backend so
         # an auto-resolved scatter path can never see row-layout positions
-        calc = dataclasses.replace(calc, mesh_backend="tiled")
+        if mesh_impl not in ("tiled", "fused"):
+            raise ValueError(
+                f"`mesh_impl` is {mesh_impl!r} but must be 'tiled' or 'fused'"
+            )
+        calc = dataclasses.replace(calc, mesh_backend=mesh_impl)
         clist = compute_cell_list(
             positions, cell, cutoff, capacity=cell_capacity
         )

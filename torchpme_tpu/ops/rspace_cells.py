@@ -101,6 +101,7 @@ def compute_cell_list(
     capacity: int | None = None,
     spill: bool | None = None,
     x_multiple: int | None = None,
+    xy_cells: tuple[int, int] | None = None,
 ):
     """Bucket atoms into cells of edge ≥ ``cutoff`` (host-side, eager).
 
@@ -128,6 +129,10 @@ def compute_cell_list(
         this (cells get larger, never smaller than the cutoff) — the
         x-slab-sharded fast path needs the x cell planes evenly divisible
         over the device axis.
+    :param xy_cells: force the cell counts along x and y (must keep the
+        cell edge ≥ cutoff) — the tile-aligned MD state
+        (:class:`torchpme_tpu.md.MDFastPath`) pins them to the mesh-tile
+        grid so cell-bucket rows double as mesh-tile slots with no gather.
     """
     pos = np.asarray(positions, dtype=np.float64)
     cell_np = np.asarray(cell, dtype=np.float64)
@@ -146,6 +151,15 @@ def compute_cell_list(
                 f"cannot shard them over {x_multiple} devices"
             )
         n_axis[0] -= n_axis[0] % x_multiple
+    if xy_cells is not None:
+        req = np.asarray(xy_cells, dtype=np.int64)
+        if np.any(req > n_axis[:2]):
+            raise ValueError(
+                f"xy_cells {tuple(xy_cells)} would make a cell edge smaller "
+                f"than the cutoff {cutoff} (at most {tuple(n_axis[:2])} cells "
+                "fit)"
+            )
+        n_axis[:2] = req
     nx, ny, nz = (int(n) for n in n_axis)
     n_cells = nx * ny * nz
 
