@@ -140,6 +140,91 @@ def test_mdfastpath_fused_matches_tiled():
         )
 
 
+def test_mdfastpath_aligned_matches_tiled():
+    """Tile-aligned MD state (cell rows double as mesh-tile slots, spill
+    side list exercised) == tiled path: energy + cell + force gradients."""
+    rng = np.random.default_rng(3)
+    n, box = 400, 16.0
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    positions = jnp.asarray(rng.uniform(-1, box + 1, (n, 3)), jnp.float32)
+    charges = jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=1.0),
+        mesh_spacing=0.5,
+        interpolation_nodes=5,
+    )
+    ns = (32, 32, 32)  # 4x4 tiles, tile edge 4.0 >= cutoff 3.0
+
+    fp_t = tpme.MDFastPath.create(
+        calc, positions, cell, cutoff=3.0, ns_mesh=ns, mesh_impl="tiled"
+    )
+    fp_a = tpme.MDFastPath.create(
+        calc, positions, cell, cutoff=3.0, ns_mesh=ns, mesh_impl="aligned"
+    )
+    assert fp_a.cell_grid[:2] == (4, 4)
+    assert fp_a.clist.extra_index is not None  # spill path exercised
+    e1, g1 = jax.value_and_grad(fp_t.energy, argnums=(1, 2))(
+        charges, cell, fp_t.bucket(positions)
+    )
+    e2, g2 = jax.jit(jax.value_and_grad(fp_a.energy, argnums=(1, 2)))(
+        charges, cell, fp_a.bucket(positions)
+    )
+    assert abs(float(e1 - e2)) < 2e-4 * abs(float(e1))
+    np.testing.assert_allclose(
+        np.asarray(g2[0]), np.asarray(g1[0]),
+        atol=2e-4 * float(jnp.abs(g1[0]).max()),
+    )
+    f1, f2 = fp_t.unbucket(g1[1]), fp_a.unbucket(g2[1])
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(f1), atol=2e-4 * float(jnp.abs(f1).max())
+    )
+
+
+def test_mdfastpath_aligned_rejects_bad_geometry():
+    """Tile edge below the cutoff must be refused eagerly."""
+    rng = np.random.default_rng(9)
+    positions = jnp.asarray(rng.uniform(0, 16, (100, 3)), jnp.float32)
+    cell = jnp.eye(3, dtype=jnp.float32) * 16.0
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=1.0), interpolation_nodes=4
+    )
+    with pytest.raises(ValueError, match="aligned MD state"):
+        tpme.MDFastPath.create(
+            calc, positions, cell, cutoff=3.0, ns_mesh=(128, 128, 128),
+            mesh_impl="aligned",  # tile edge 16/16 = 1.0 < 3.0
+        )
+
+
+def test_mdfastpath_aligned_staleness_poisons():
+    """Drift an atom out of its cell: the aligned step must return NaN
+    (mesh staleness is implied by the cell-list flag)."""
+    rng = np.random.default_rng(12)
+    n, box = 300, 16.0
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    charges = jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=1.0), interpolation_nodes=4
+    )
+    fp = tpme.MDFastPath.create(
+        calc, positions, cell, cutoff=4.0, ns_mesh=(32, 32, 32),
+        mesh_impl="aligned",
+    )
+    rows = fp.bucket(positions)
+    e_ok = jax.jit(fp.energy)(charges, cell, rows)
+    assert np.isfinite(float(e_ok))
+    drifted = rows.at[fp.row_of_atom[5]].add(
+        jnp.asarray([4.5, 0.0, 0.0], jnp.float32)
+    )
+    e_stale = jax.jit(fp.energy)(charges, cell, drifted)
+    assert np.isnan(float(e_stale))
+    # rebucket recovers, preserving mesh_impl
+    fp2 = fp.rebucket(drifted, cell)
+    assert fp2.mesh_impl == "aligned"
+    e2 = jax.jit(fp2.energy)(charges, cell, fp2.bucket(fp.unbucket(drifted)))
+    assert np.isfinite(float(e2))
+
+
 def test_mdfastpath_rejects_unknown_mesh_impl():
     rng = np.random.default_rng(5)
     positions = jnp.asarray(rng.uniform(0, 8, (50, 3)), jnp.float32)

@@ -121,7 +121,7 @@ def main():
     timed("density fwd+bwd [fused]", run, init)
 
     # --- full MD step ------------------------------------------------------
-    for impl in ("tiled", "fused"):
+    for impl in ("tiled", "fused", "aligned"):
         fp = tpme.MDFastPath.create(
             calc, pos, cell_j, CUTOFF, ns, mesh_impl=impl
         )

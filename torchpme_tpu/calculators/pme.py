@@ -337,6 +337,27 @@ class PMECalculator(Calculator):
                 energy_only=True,
             )
         )
+        return self._kspace_energy_from_rho(
+            rho_mesh, cell, charges, positions, periodic, ns_mesh, use_dft,
+            mesh_valid=mesh_valid if use_tiled else None,
+        )
+
+    def _kspace_energy_from_rho(
+        self,
+        rho_mesh: Array,
+        cell: Array,
+        charges: Array,
+        positions: Array,
+        periodic: Array | None,
+        ns_mesh: tuple[int, int, int],
+        use_dft: bool | None = None,
+        mesh_valid: Array | None = None,
+    ) -> Array:
+        """Quadratic-form k-space energy + corrections from a density mesh
+        (shared by :meth:`_compute_kspace_energy` and the tile-aligned MD
+        fast path, which builds ``rho_mesh`` itself)."""
+        if use_dft is None:
+            use_dft = self._use_dft(ns_mesh)
         kfilter = self._kspace_filter(cell, ns_mesh)
         volume = jnp.abs(jnp.linalg.det(cell))
         if use_dft:
@@ -346,7 +367,7 @@ class PMECalculator(Calculator):
                 rho_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
             )
             e_mesh = jnp.sum(rho_mesh * potential_mesh) / volume
-        if use_tiled and mesh_valid is not None:
+        if mesh_valid is not None:
             e_mesh = e_mesh * jnp.where(mesh_valid, 1.0, jnp.nan)
 
         # the same corrections as the per-atom path, contracted with q

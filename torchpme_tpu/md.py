@@ -82,11 +82,19 @@ class MDFastPath:
 
     calc: object  # PMECalculator / P3MCalculator (pytree dataclass)
     clist: CellList
-    tiled: TiledInterpolation  # atom_of_slot remapped to bucket-row ids
+    tiled: TiledInterpolation | None  # atom_of_slot remapped to bucket-row ids
     row_of_atom: Array  # (N,) int32
     ns_mesh: tuple[int, int, int] = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))
     n_atoms: int = field(metadata=dict(static=True))
+    #: "tiled" (XLA tile-GEMM), "fused" (single-kernel Pallas spread), or
+    #: "aligned" (fused kernels + the cell grid pinned to the mesh-tile grid:
+    #: bucket rows double as tile slots, zero per-step mesh gathers)
+    mesh_impl: str = field(metadata=dict(static=True), default="tiled")
+    #: (nx_c, ny_c, nz_c, cap) of the aligned cell list ("aligned" only)
+    cell_grid: tuple[int, int, int, int] | None = field(
+        metadata=dict(static=True), default=None
+    )
 
     @classmethod
     def create(
@@ -98,7 +106,7 @@ class MDFastPath:
         ns_mesh=None,
         cell_capacity: int | None = None,
         tile_capacity: int | None = None,
-        mesh_impl: str = "tiled",
+        mesh_impl: str = "auto",
     ) -> "MDFastPath":
         """Bucket ``positions`` for ``calc`` (host-side, eager).
 
@@ -107,9 +115,14 @@ class MDFastPath:
         :param cutoff: real-space cutoff for the cell list.
         :param ns_mesh: static mesh shape (``calc.get_ns_mesh(cell)`` when
             omitted).
-        :param mesh_impl: ``"tiled"`` (XLA tile-GEMM) or ``"fused"`` (the
+        :param mesh_impl: ``"tiled"`` (XLA tile-GEMM), ``"fused"`` (the
             single-kernel Pallas spread of
-            :mod:`torchpme_tpu.ops.pallas.spread_fused`; float32 state).
+            :mod:`torchpme_tpu.ops.pallas.spread_fused`; float32 state), or
+            ``"aligned"`` (fused kernels with the cell-list x/y grid pinned
+            to the mesh-tile grid — bucket rows double as mesh-tile slots,
+            so the step pays no mesh gather/scatter at all).  ``"auto"``
+            picks "aligned" on TPU when the geometry allows (one mesh tile
+            ≥ the cutoff per x/y cell), else "tiled".
         """
         import dataclasses
 
@@ -124,16 +137,44 @@ class MDFastPath:
                 f"{calc.interpolation_nodes} nodes does not tile (nx, ny must "
                 "be multiples of 16)"
             )
+        if mesh_impl == "auto":
+            import jax as _jax
+
+            mesh_impl = (
+                "aligned"
+                if _jax.default_backend() == "tpu"
+                and cls._aligned_supported(cell, cutoff, ns_mesh)
+                else "tiled"
+            )
+        if mesh_impl not in ("tiled", "fused", "aligned"):
+            raise ValueError(
+                f"`mesh_impl` is {mesh_impl!r} but must be 'auto', 'tiled', "
+                "'fused' or 'aligned'"
+            )
         # the rows layout is consumed by the tile refresh: pin the backend so
         # an auto-resolved scatter path can never see row-layout positions
-        if mesh_impl not in ("tiled", "fused"):
-            raise ValueError(
-                f"`mesh_impl` is {mesh_impl!r} but must be 'tiled' or 'fused'"
-            )
-        calc = dataclasses.replace(calc, mesh_backend=mesh_impl)
-        clist = compute_cell_list(
-            positions, cell, cutoff, capacity=cell_capacity
+        calc = dataclasses.replace(
+            calc,
+            mesh_backend="fused" if mesh_impl == "aligned" else mesh_impl,
         )
+        if mesh_impl == "aligned":
+            if not cls._aligned_supported(cell, cutoff, ns_mesh):
+                raise ValueError(
+                    "aligned MD state needs one mesh tile (8 mesh cells) per "
+                    "x/y cell-list cell with edge >= cutoff; this cell/mesh/"
+                    "cutoff combination does not allow it (use mesh_impl="
+                    "'tiled' or 'fused')"
+                )
+            from .ops.mesh_tiled import TILE
+
+            clist = compute_cell_list(
+                positions, cell, cutoff, capacity=cell_capacity,
+                xy_cells=(ns_mesh[0] // TILE, ns_mesh[1] // TILE),
+            )
+        else:
+            clist = compute_cell_list(
+                positions, cell, cutoff, capacity=cell_capacity
+            )
         n_cells, cap = clist.slot_mask.shape
         n_atoms = int(np.asarray(positions).shape[0])
 
@@ -152,25 +193,31 @@ class MDFastPath:
             )
             n_rows += e_idx.shape[0]
 
-        tiled = compute_tiled_interpolation(
-            jnp.asarray(positions),
-            jnp.linalg.inv(jnp.asarray(cell)),
-            ns_mesh,
-            calc.interpolation_nodes,
-            calc._method,
-            capacity=tile_capacity,
-        )
-        if int(tiled.dropped):
-            raise ValueError(
-                f"{int(tiled.dropped)} atoms exceeded the tile capacity; "
-                "pass a larger `tile_capacity`"
+        if mesh_impl == "aligned":
+            # no tile bucketing at all: cell rows ARE the tile slots
+            tiled = None
+            cell_grid = (*clist.n_axis, cap)
+        else:
+            cell_grid = None
+            tiled = compute_tiled_interpolation(
+                jnp.asarray(positions),
+                jnp.linalg.inv(jnp.asarray(cell)),
+                ns_mesh,
+                calc.interpolation_nodes,
+                calc._method,
+                capacity=tile_capacity,
             )
-        # remap tile slots from atom ids to bucket-row ids (sentinel: n_rows)
-        slots = np.asarray(tiled.atom_of_slot)
-        remapped = np.where(
-            slots == n_atoms, n_rows, row_of_atom[np.minimum(slots, n_atoms - 1)]
-        ).astype(np.int32)
-        tiled = replace(tiled, atom_of_slot=jnp.asarray(remapped))
+            if int(tiled.dropped):
+                raise ValueError(
+                    f"{int(tiled.dropped)} atoms exceeded the tile capacity; "
+                    "pass a larger `tile_capacity`"
+                )
+            # remap tile slots from atom ids to bucket-row ids (sentinel: n_rows)
+            slots = np.asarray(tiled.atom_of_slot)
+            remapped = np.where(
+                slots == n_atoms, n_rows, row_of_atom[np.minimum(slots, n_atoms - 1)]
+            ).astype(np.int32)
+            tiled = replace(tiled, atom_of_slot=jnp.asarray(remapped))
 
         return cls(
             calc=calc,
@@ -180,6 +227,25 @@ class MDFastPath:
             ns_mesh=ns_mesh,
             n_rows=n_rows,
             n_atoms=n_atoms,
+            mesh_impl=mesh_impl,
+            cell_grid=cell_grid,
+        )
+
+    @staticmethod
+    def _aligned_supported(cell, cutoff: float, ns_mesh) -> bool:
+        """One mesh tile (8 mesh cells) per x/y cell must keep the cell-plane
+        distance ≥ cutoff, and the cutoff must fit the cell at all."""
+        from .ops.mesh_tiled import TILE
+
+        cell_np = np.asarray(cell, np.float64)
+        inv = np.linalg.inv(cell_np)
+        plane = 1.0 / np.linalg.norm(inv, axis=0)
+        max_cells = np.floor(plane / cutoff)
+        want = (ns_mesh[0] // TILE, ns_mesh[1] // TILE)
+        return bool(
+            np.all(plane >= cutoff)
+            and max_cells[0] >= want[0]
+            and max_cells[1] >= want[1]
         )
 
     # -- layout conversion (one-time, at build/rebucket boundaries) ----------
@@ -204,6 +270,7 @@ class MDFastPath:
             cell,
             cutoff if cutoff is not None else self.clist.cutoff,
             ns_mesh=self.ns_mesh,
+            mesh_impl=self.mesh_impl,
         )
 
     # -- the step ------------------------------------------------------------
@@ -219,11 +286,36 @@ class MDFastPath:
         e_sr = cell_list_rspace_energy_rows(
             self.calc.potential, charges, pos_rows, cell, self.clist
         )
-        e_k = self.calc._compute_kspace_energy(
-            charges,
-            cell,
-            pos_rows,  # consumed only by the tile refresh (row-id slots)
-            ns_mesh=self.ns_mesh,
-            tiled_interp=self.tiled,
-        )
+        if self.mesh_impl == "aligned":
+            from .ops.pallas.spread_fused import aligned_tiled_density
+
+            dtype = pos_rows.dtype
+            # charges into row layout (position-independent: XLA hoists this
+            # out of an MD loop whose charges are constant)
+            q_rows = jnp.zeros((self.n_rows, charges.shape[-1]), dtype).at[
+                self.row_of_atom
+            ].set(charges.astype(dtype))
+            rho = aligned_tiled_density(
+                pos_rows,
+                q_rows,
+                jnp.linalg.inv(cell),
+                self.ns_mesh,
+                self.calc.interpolation_nodes,
+                self.calc._method,
+                self.cell_grid,
+            )
+            # mesh staleness is implied by cell-list staleness (an atom in
+            # its cell keeps its stencil in the tile window), which already
+            # NaN-poisons e_sr
+            e_k = self.calc._kspace_energy_from_rho(
+                rho, cell, charges, pos_rows, None, self.ns_mesh
+            )
+        else:
+            e_k = self.calc._compute_kspace_energy(
+                charges,
+                cell,
+                pos_rows,  # consumed only by the tile refresh (row-id slots)
+                ns_mesh=self.ns_mesh,
+                tiled_interp=self.tiled,
+            )
         return e_sr + e_k
