@@ -146,6 +146,56 @@ def test_dipole_energy_rejects_both_pair_sources():
         )
 
 
+@pytest.mark.parametrize("smeared", [True, False])
+def test_dipole_rows_state_matches_cell_list_path(smeared):
+    """MDFastPathDipole (bucket-order rows) == cell-list path: energy and
+    all gradients, up to the row permutation."""
+    from torchpme_tpu import MDFastPathDipole
+
+    positions, dipoles, cell, cutoff, _rng = _random_system(471)
+    if smeared:
+        calc = CalculatorDipole(PotentialDipole(smearing=1.0), lr_wavelength=1.0)
+    else:
+        calc = CalculatorDipole(PotentialDipole())
+    fp = MDFastPathDipole.create(calc, positions, cell, cutoff=cutoff)
+    rows = fp.bucket(positions)
+    e1, g1 = jax.jit(jax.value_and_grad(fp.energy, argnums=(0, 1, 2)))(
+        dipoles, cell, rows
+    )
+    clist = compute_cell_list(
+        positions, cell, cutoff, capacity=fp.clist.slot_mask.shape[1],
+        spill=False,
+    )
+    kw = {"ns_kvectors": fp.ns_kvectors} if smeared else {}
+    e2, g2 = jax.value_and_grad(
+        lambda m, c, p: calc.energy(m, c, p, cell_list=clist, **kw),
+        argnums=(0, 1, 2),
+    )(dipoles, cell, positions)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(fp.unbucket(g1[2])), np.asarray(g2[2]), atol=1e-9
+    )
+
+
+def test_dipole_rows_state_staleness_poisons():
+    from torchpme_tpu import MDFastPathDipole
+
+    positions, dipoles, cell, cutoff, _rng = _random_system(481)
+    calc = CalculatorDipole(PotentialDipole(smearing=1.0), lr_wavelength=1.0)
+    fp = MDFastPathDipole.create(calc, positions, cell, cutoff=cutoff)
+    rows = fp.bucket(positions)
+    assert np.isfinite(float(jax.jit(fp.energy)(dipoles, cell, rows)))
+    drifted = rows.at[fp.row_of_atom[3]].add(
+        jnp.asarray([1.8 * cutoff, 0.0, 0.0])
+    )
+    assert np.isnan(float(jax.jit(fp.energy)(dipoles, cell, drifted)))
+    fp2 = fp.rebucket(drifted, cell)
+    e2 = fp2.energy(dipoles, cell, fp2.bucket(fp.unbucket(drifted)))
+    assert np.isfinite(float(e2))
+
+
 def test_dipole_scalar_kernels_match_tensor_kernels():
     """(B, C) scalars must reproduce the 3×3 tensor kernels element-wise."""
     rng = np.random.default_rng(461)

@@ -17,7 +17,7 @@ from .calculators import (
     P3MCalculator,
     PMECalculator,
 )
-from .md import MDFastPath
+from .md import MDFastPath, MDFastPathDipole
 from .potentials import (
     CombinedPotential,
     CoulombPotential,
@@ -40,4 +40,5 @@ __all__ = [
     "PotentialDipole",
     "CalculatorDipole",
     "MDFastPath",
+    "MDFastPathDipole",
 ]

@@ -44,7 +44,27 @@ from .ops.rspace_cells import (
     compute_cell_list,
 )
 
-__all__ = ["MDFastPath"]
+__all__ = ["MDFastPath", "MDFastPathDipole"]
+
+
+def _row_mapping(clist: CellList, n_atoms: int) -> tuple[np.ndarray, int]:
+    """Bucket-row id of every atom (spill extras appended after the cell
+    rows), host-side."""
+    n_cells, cap = clist.slot_mask.shape
+    row_of_atom = np.zeros(n_atoms, dtype=np.int32)
+    idx = np.asarray(clist.atom_index)
+    msk = np.asarray(clist.slot_mask)
+    rows = np.arange(n_cells * cap, dtype=np.int32).reshape(n_cells, cap)
+    row_of_atom[idx[msk]] = rows[msk]
+    n_rows = n_cells * cap
+    if clist.extra_index is not None:
+        e_idx = np.asarray(clist.extra_index)
+        e_msk = np.asarray(clist.extra_mask)
+        row_of_atom[e_idx[e_msk]] = n_rows + np.nonzero(e_msk)[0].astype(
+            np.int32
+        )
+        n_rows += e_idx.shape[0]
+    return row_of_atom, n_rows
 
 
 @jax.tree_util.register_dataclass
@@ -177,21 +197,7 @@ class MDFastPath:
             )
         n_cells, cap = clist.slot_mask.shape
         n_atoms = int(np.asarray(positions).shape[0])
-
-        # bucket-row id of every atom (extras appended after the cell rows)
-        row_of_atom = np.zeros(n_atoms, dtype=np.int32)
-        idx = np.asarray(clist.atom_index)
-        msk = np.asarray(clist.slot_mask)
-        rows = np.arange(n_cells * cap, dtype=np.int32).reshape(n_cells, cap)
-        row_of_atom[idx[msk]] = rows[msk]
-        n_rows = n_cells * cap
-        if clist.extra_index is not None:
-            e_idx = np.asarray(clist.extra_index)
-            e_msk = np.asarray(clist.extra_mask)
-            row_of_atom[e_idx[e_msk]] = n_rows + np.nonzero(e_msk)[0].astype(
-                np.int32
-            )
-            n_rows += e_idx.shape[0]
+        row_of_atom, n_rows = _row_mapping(clist, n_atoms)
 
         if mesh_impl == "aligned":
             # no tile bucketing at all: cell rows ARE the tile slots
@@ -319,3 +325,131 @@ class MDFastPath:
                 tiled_interp=self.tiled,
             )
         return e_sr + e_k
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MDFastPathDipole:
+    """Bucket-order MD state for dipolar systems — the dipolar counterpart
+    of :class:`MDFastPath`.
+
+    The real-space sum runs through the dipolar cell-list window engine in
+    row layout (:func:`~torchpme_tpu.ops.rspace_cells_dipole.cell_list_rspace_dipole_energy_rows`,
+    no per-step gather or force scatter); the Ewald k-space term consumes
+    the rows directly — every term is dipole-weighted, so padded rows (with
+    :math:`\\vec\\mu = 0`) contribute nothing.  No reference counterpart:
+    the reference dipolar calculator is pair-list only
+    (``/root/reference/src/torchpme/calculators/calculator_dipole.py``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> import torchpme_tpu as tpme
+    >>> rng = np.random.default_rng(0)
+    >>> positions = jnp.asarray(rng.uniform(0, 8.0, (60, 3)))
+    >>> dipoles = jnp.asarray(rng.normal(size=(60, 3)))
+    >>> cell = jnp.eye(3) * 8.0
+    >>> calc = tpme.CalculatorDipole(
+    ...     tpme.PotentialDipole(smearing=1.0), lr_wavelength=2.0
+    ... )
+    >>> fp = tpme.MDFastPathDipole.create(calc, positions, cell, cutoff=2.5)
+    >>> rows = fp.bucket(positions)
+    >>> e, forces = jax.value_and_grad(fp.energy, argnums=2)(
+    ...     dipoles, cell, rows
+    ... )
+    >>> clist = tpme.ops.compute_cell_list(
+    ...     positions, cell, 2.5, capacity=fp.clist.slot_mask.shape[1],
+    ...     spill=False,
+    ... )
+    >>> e_ref = calc.energy(dipoles, cell, positions, cell_list=clist,
+    ...                     ns_kvectors=fp.ns_kvectors)
+    >>> print(bool(jnp.allclose(e, e_ref, rtol=1e-10)))
+    True
+    """
+
+    calc: object  # CalculatorDipole (pytree dataclass)
+    clist: CellList
+    row_of_atom: Array  # (N,) int32
+    ns_kvectors: tuple[int, int, int] | None = field(
+        metadata=dict(static=True)
+    )
+    n_rows: int = field(metadata=dict(static=True))
+    n_atoms: int = field(metadata=dict(static=True))
+
+    @classmethod
+    def create(
+        cls,
+        calc,
+        positions,
+        cell,
+        cutoff: float,
+        cell_capacity: int | None = None,
+    ) -> "MDFastPathDipole":
+        """Bucket ``positions`` for the dipolar ``calc`` (host-side, eager).
+
+        The cell list is built spill-free (the dipolar window engine does
+        not take a side list); pass ``cell_capacity`` for inhomogeneous
+        systems."""
+        clist = compute_cell_list(
+            positions, cell, cutoff, capacity=cell_capacity, spill=False
+        )
+        n_atoms = int(np.asarray(positions).shape[0])
+        row_of_atom, n_rows = _row_mapping(clist, n_atoms)
+        ns_k = (
+            calc.get_ns_kvectors(cell)
+            if calc.potential.smearing is not None
+            else None
+        )
+        return cls(
+            calc=calc,
+            clist=clist,
+            row_of_atom=jnp.asarray(row_of_atom),
+            ns_kvectors=ns_k,
+            n_rows=n_rows,
+            n_atoms=n_atoms,
+        )
+
+    def bucket(self, positions: Array) -> Array:
+        """Atom-order ``(N, 3)`` → bucket rows ``(n_rows, 3)`` (one gather)."""
+        rows = jnp.zeros((self.n_rows, 3), jnp.asarray(positions).dtype)
+        return rows.at[self.row_of_atom].set(positions)
+
+    def unbucket(self, rows: Array) -> Array:
+        """Bucket rows back to atom order (one gather)."""
+        return rows[self.row_of_atom]
+
+    def rebucket(self, pos_rows: Array, cell: Array, cutoff=None) -> "MDFastPathDipole":
+        """Rebuild the bucketing from drifted rows (like a NL refresh)."""
+        positions = self.unbucket(pos_rows)
+        return type(self).create(
+            self.calc,
+            positions,
+            cell,
+            cutoff if cutoff is not None else self.clist.cutoff,
+            cell_capacity=self.clist.slot_mask.shape[1],
+        )
+
+    def energy(self, dipoles: Array, cell: Array, pos_rows: Array) -> Array:
+        r"""Total dipolar energy :math:`\sum_i \vec V_i\cdot\vec\mu_i` from
+        bucket rows; ``jax.grad`` w.r.t. ``pos_rows`` gives minus the forces
+        in row layout, w.r.t. ``dipoles`` the fields.  NaN when stale."""
+        from .ops.rspace_cells_dipole import (
+            cell_list_rspace_dipole_energy_rows,
+        )
+
+        e_sr = cell_list_rspace_dipole_energy_rows(
+            self.calc.potential, dipoles, pos_rows, cell, self.clist
+        )
+        if self.calc.potential.smearing is None:
+            return e_sr
+        dtype = pos_rows.dtype
+        # dipole rows (position-independent: hoisted out of MD loops whose
+        # dipoles are constant); padded rows get mu = 0 and drop out of
+        # every k-space term
+        mu_rows = jnp.zeros((self.n_rows, 3), dtype).at[
+            self.row_of_atom
+        ].set(dipoles.astype(dtype))
+        pot_rows = self.calc._compute_kspace(
+            mu_rows, cell, pos_rows, ns_kvectors=self.ns_kvectors
+        )
+        return e_sr + jnp.sum(pot_rows * mu_rows)

@@ -29,7 +29,10 @@ from .rspace_cells import (
     _prepare,
 )
 
-__all__ = ["cell_list_rspace_dipole_energy"]
+__all__ = [
+    "cell_list_rspace_dipole_energy",
+    "cell_list_rspace_dipole_energy_rows",
+]
 
 
 def cell_list_rspace_dipole_energy(
@@ -49,20 +52,57 @@ def cell_list_rspace_dipole_energy(
         overflow side list is not supported here — build with an explicit
         ``capacity`` (``spill=False``) for inhomogeneous systems.
     """
+    _reject_spill(clist)
+    pc_t, mu_g, mf_g, offs, valid, chunks = _prepare(
+        dipoles, positions, cell, clist
+    )
+    return _dipole_window_energy(
+        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist
+    )
+
+
+def cell_list_rspace_dipole_energy_rows(
+    potential, dipoles: Array, pos_rows: Array, cell: Array, clist: CellList
+) -> Array:
+    r"""Dipolar window energy from positions in bucket-ROW order — the
+    dipolar counterpart of
+    :func:`~torchpme_tpu.ops.rspace_cells.cell_list_rspace_energy_rows`:
+    no O(atoms) gather in the step, force gradient returned in row layout
+    with no scatter.  Values and gradients equal
+    :func:`cell_list_rspace_dipole_energy` up to the row permutation.
+    """
+    _reject_spill(clist)
+    from .rspace_cells import _prepare_bucketed
+
+    n_cells, cap = clist.slot_mask.shape
+    dtype = pos_rows.dtype
+    pc_t, mu_g, mf_g, offs, valid, chunks = _prepare_bucketed(
+        dipoles.astype(dtype)[clist.atom_index],
+        pos_rows[: n_cells * cap].reshape(n_cells, cap, 3),
+        cell,
+        clist,
+    )
+    return _dipole_window_energy(
+        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist
+    )
+
+
+def _reject_spill(clist: CellList) -> None:
     if clist.extra_index is not None:
         raise ValueError(
             "The dipolar cell-list energy does not support the overflow "
             "side list yet; rebuild the cell list with an explicit "
             "`capacity` (spill=False)"
         )
+
+
+def _dipole_window_energy(
+    potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist
+) -> Array:
     if potential.smearing is None:
         scalars = potential.scalar_kernels
     else:
         scalars = potential.sr_scalar_kernels
-
-    pc_t, mu_g, mf_g, offs, valid, chunks = _prepare(
-        dipoles, positions, cell, clist
-    )
     dtype = pc_t.dtype
     cutoff_sq = jnp.asarray(float(clist.cutoff), dtype) ** 2
 
