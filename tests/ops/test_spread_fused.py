@@ -180,6 +180,36 @@ def test_mdfastpath_aligned_matches_tiled():
     )
 
 
+def test_mdfastpath_aligned_p3m_matches_tiled():
+    """Aligned state over the P3M stencils (even-node floor path)."""
+    rng = np.random.default_rng(21)
+    n, box = 250, 14.0
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    charges = jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)
+    calc = tpme.P3MCalculator(
+        tpme.CoulombPotential(smearing=1.0), interpolation_nodes=4
+    )
+    ns = (32, 32, 32)  # tile edge 3.5 >= cutoff 3.0
+    fp_t = tpme.MDFastPath.create(
+        calc, positions, cell, cutoff=3.0, ns_mesh=ns, mesh_impl="tiled"
+    )
+    fp_a = tpme.MDFastPath.create(
+        calc, positions, cell, cutoff=3.0, ns_mesh=ns, mesh_impl="aligned"
+    )
+    e1, g1 = jax.value_and_grad(fp_t.energy, argnums=2)(
+        charges, cell, fp_t.bucket(positions)
+    )
+    e2, g2 = jax.jit(jax.value_and_grad(fp_a.energy, argnums=2))(
+        charges, cell, fp_a.bucket(positions)
+    )
+    assert abs(float(e1 - e2)) < 2e-4 * abs(float(e1))
+    np.testing.assert_allclose(
+        np.asarray(fp_a.unbucket(g2)), np.asarray(fp_t.unbucket(g1)),
+        atol=2e-4 * float(jnp.abs(g1).max()),
+    )
+
+
 def test_mdfastpath_aligned_rejects_bad_geometry():
     """Tile edge below the cutoff must be refused eagerly."""
     rng = np.random.default_rng(9)
