@@ -141,8 +141,10 @@ class MDFastPath:
             ``"aligned"`` (fused kernels with the cell-list x/y grid pinned
             to the mesh-tile grid — bucket rows double as mesh-tile slots,
             so the step pays no mesh gather/scatter at all).  ``"auto"``
-            picks "aligned" on TPU when the geometry allows (one mesh tile
-            ≥ the cutoff per x/y cell), else "tiled".
+            picks, on TPU, "aligned" for large systems when the geometry
+            allows (one mesh tile ≥ the cutoff per x/y cell, ≥32768 atoms
+            — the measured crossover), else "fused"; on other backends
+            "tiled".
         """
         import dataclasses
 
@@ -160,12 +162,23 @@ class MDFastPath:
         if mesh_impl == "auto":
             import jax as _jax
 
-            mesh_impl = (
-                "aligned"
-                if _jax.default_backend() == "tpu"
-                and cls._aligned_supported(cell, cutoff, ns_mesh)
-                else "tiled"
-            )
+            if _jax.default_backend() != "tpu":
+                mesh_impl = "tiled"  # Pallas would run in interpret mode
+            elif (
+                cls._aligned_supported(cell, cutoff, ns_mesh)
+                and np.asarray(positions).shape[0] >= 32768
+            ):
+                # measured crossover (v5e): the aligned mesh saving scales
+                # with the row count while the coarser-cell real-space
+                # penalty does not — 12k atoms: tiled 3.8 / aligned 5.6 ms;
+                # 65k: tiled 9.9 / aligned 7.7 ms
+                mesh_impl = "aligned"
+            else:
+                # fused beats tiled by a small, consistent margin at every
+                # measured size (3.6 vs 3.8 ms at 12k, 9.6 vs 9.9 at 65k,
+                # 13.5 vs 13.6 at 102k); falls back to the XLA refresh
+                # path automatically for non-f32 state
+                mesh_impl = "fused"
         if mesh_impl not in ("tiled", "fused", "aligned"):
             raise ValueError(
                 f"`mesh_impl` is {mesh_impl!r} but must be 'auto', 'tiled', "
