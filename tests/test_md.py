@@ -154,3 +154,54 @@ def test_analytic_force_hook_engaged(system):
     eps = 1e-6
     fd = (e_of_smearing(0.5 + eps) - e_of_smearing(0.5 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_md_fastpath_rebucket_preserves_shapes(system):
+    """rebucket must reuse the capacities so the compiled step is reused
+    (stable row/slot shapes) and explicit capacities are not dropped."""
+    charges, cell, positions = system
+    fp = tpme.MDFastPath.create(_calc(), positions, cell, CUTOFF, NS)
+    rows = fp.bucket(positions)
+    fp2 = fp.rebucket(rows + 0.05, cell)
+    assert fp2.n_rows == fp.n_rows
+    assert fp2.clist.slot_mask.shape == fp.clist.slot_mask.shape
+    assert (fp.tiled is None) == (fp2.tiled is None)
+    if fp.tiled is not None:
+        assert fp2.tiled.local_x.shape == fp.tiled.local_x.shape
+    assert (fp.clist.extra_index is None) == (fp2.clist.extra_index is None)
+
+
+def test_md_fastpath_fused_rejects_unaligned_tile_capacity(system):
+    charges, cell, positions = system
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        tpme.MDFastPath.create(
+            _calc(), positions, cell, CUTOFF, NS, tile_capacity=100,
+            mesh_impl="fused",
+        )
+
+
+def test_energy_rows_accepts_plain_callable(system):
+    """A bare v(d) callable must take the documented autodiff path, like
+    cell_list_rspace_energy, instead of crashing in the custom VJP."""
+    import jax
+
+    from torchpme_tpu.ops.rspace_cells import (
+        cell_list_rspace_energy,
+        cell_list_rspace_energy_rows,
+        compute_cell_list,
+    )
+
+    charges, cell, positions = system
+    clist = compute_cell_list(positions, cell, CUTOFF)
+    fp = tpme.MDFastPath.create(_calc(), positions, cell, CUTOFF, NS)
+    rows = fp.bucket(positions)
+    v = lambda d: 1.0 / d  # noqa: E731
+    e_rows = cell_list_rspace_energy_rows(v, charges, rows, cell, fp.clist)
+    e_ref = cell_list_rspace_energy(v, charges, positions, cell, clist)
+    np.testing.assert_allclose(float(e_rows), float(e_ref), rtol=1e-12)
+    g = jax.grad(
+        lambda r: cell_list_rspace_energy_rows(v, charges, r, cell, fp.clist)
+    )(rows)
+    assert np.isfinite(np.asarray(g)).all()

@@ -75,7 +75,12 @@ class PMECalculator(Calculator):
     _method: str = static_field(default="Lagrange", kw_only=True)
     #: "auto" picks the tile-GEMM path on accelerators (XLA scatter/gather is
     #: pathologically slow on TPU) and the scatter path on CPU / tiny meshes;
-    #: "tiled" / "scatter" force a backend.
+    #: "tiled" / "scatter" force a backend; "fused" behaves like "tiled"
+    #: except on the quadratic energy path with a reusable ``tiled_interp``,
+    #: where refresh+spread run as ONE Pallas kernel
+    #: (:mod:`torchpme_tpu.ops.pallas.spread_fused` — float32,
+    #: sublane-aligned tile capacity; falls back to the XLA refresh path
+    #: otherwise).
     mesh_backend: str = static_field(default="auto", kw_only=True)
     #: per-tile atom capacity override for the tiled backend (None = 8x mean)
     tile_capacity: int | None = static_field(default=None, kw_only=True)
@@ -177,8 +182,6 @@ class PMECalculator(Calculator):
                         charges,
                         self._method,
                     )
-                    import jax.core as _core
-
                     if not isinstance(mesh_valid, _core.Tracer) and not bool(
                         mesh_valid
                     ):

@@ -127,6 +127,7 @@ class MDFastPath:
         cell_capacity: int | None = None,
         tile_capacity: int | None = None,
         mesh_impl: str = "auto",
+        _spill: bool | None = None,
     ) -> "MDFastPath":
         """Bucket ``positions`` for ``calc`` (host-side, eager).
 
@@ -146,8 +147,6 @@ class MDFastPath:
             — the measured crossover), else "fused"; on other backends
             "tiled".
         """
-        import dataclasses
-
         from .ops.mesh_tiled import supports_tiling
 
         if ns_mesh is None:
@@ -184,9 +183,18 @@ class MDFastPath:
                 f"`mesh_impl` is {mesh_impl!r} but must be 'auto', 'tiled', "
                 "'fused' or 'aligned'"
             )
+        if (
+            mesh_impl == "fused"
+            and tile_capacity is not None
+            and tile_capacity % 8
+        ):
+            raise ValueError(
+                f"the fused Pallas spread needs a sublane-aligned tile "
+                f"capacity (multiple of 8), got tile_capacity={tile_capacity}"
+            )
         # the rows layout is consumed by the tile refresh: pin the backend so
         # an auto-resolved scatter path can never see row-layout positions
-        calc = dataclasses.replace(
+        calc = replace(
             calc,
             mesh_backend="fused" if mesh_impl == "aligned" else mesh_impl,
         )
@@ -201,12 +209,12 @@ class MDFastPath:
             from .ops.mesh_tiled import TILE
 
             clist = compute_cell_list(
-                positions, cell, cutoff, capacity=cell_capacity,
+                positions, cell, cutoff, capacity=cell_capacity, spill=_spill,
                 xy_cells=(ns_mesh[0] // TILE, ns_mesh[1] // TILE),
             )
         else:
             clist = compute_cell_list(
-                positions, cell, cutoff, capacity=cell_capacity
+                positions, cell, cutoff, capacity=cell_capacity, spill=_spill
             )
         n_cells, cap = clist.slot_mask.shape
         n_atoms = int(np.asarray(positions).shape[0])
@@ -281,7 +289,12 @@ class MDFastPath:
         return pos_rows[self.row_of_atom]
 
     def rebucket(self, pos_rows: Array, cell: Array, cutoff=None) -> "MDFastPath":
-        """Rebuild the bucketings from drifted rows (like a NL refresh)."""
+        """Rebuild the bucketings from drifted rows (like a NL refresh).
+
+        Reuses the existing cell and tile capacities so the row/slot shapes
+        stay stable across refreshes and the compiled step is reused (the
+        extras side list is already padded generously for the same reason).
+        """
         positions = self.unbucket(pos_rows)
         return type(self).create(
             self.calc,
@@ -289,7 +302,12 @@ class MDFastPath:
             cell,
             cutoff if cutoff is not None else self.clist.cutoff,
             ns_mesh=self.ns_mesh,
+            cell_capacity=self.clist.slot_mask.shape[1],
+            tile_capacity=(
+                None if self.tiled is None else self.tiled.local_x.shape[1]
+            ),
             mesh_impl=self.mesh_impl,
+            _spill=self.clist.extra_index is not None,
         )
 
     # -- the step ------------------------------------------------------------

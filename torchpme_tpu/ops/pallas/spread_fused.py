@@ -435,6 +435,12 @@ def aligned_tiled_density(
             f"cell grid {(nx_c, ny_c)} is not aligned with the "
             f"{(ns[0] // TILE, ns[1] // TILE)} mesh-tile grid"
         )
+    if pos_rows.dtype != jnp.float32:
+        raise ValueError(
+            f"the aligned MD state runs the fused float32 Pallas kernels; "
+            f"got {pos_rows.dtype} rows — use float32 state, or "
+            "mesh_impl='tiled' for float64"
+        )
     dtype = pos_rows.dtype
     n_ch = q_rows.shape[-1]
     n_tiles = nx_c * ny_c

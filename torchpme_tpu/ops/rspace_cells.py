@@ -796,12 +796,19 @@ def cell_list_rspace_energy_rows(
         cell,
         clist,
     )
-    spec = (
-        float(clist.cutoff),
-        chunks,
-        _can_use_analytic_derivative(potential),
-    )
-    e0 = _window_energy(spec, potential, pc_t, q_g, mf_g, offs)
+    if not hasattr(potential, "from_dist"):
+        # plain v(d) callable: same adapter + autodiff path as
+        # cell_list_rspace_energy
+        potential = _CallablePotential(potential)
+        spec = (float(clist.cutoff), chunks)
+        e0 = _we_math(spec, potential, pc_t, q_g, mf_g, offs)
+    else:
+        spec = (
+            float(clist.cutoff),
+            chunks,
+            _can_use_analytic_derivative(potential),
+        )
+        e0 = _window_energy(spec, potential, pc_t, q_g, mf_g, offs)
     if clist.extra_index is not None:
         pe, pe_abs, qe, valid_e = _prepare_extras_bucketed(
             charges.astype(dtype)[clist.extra_index],
