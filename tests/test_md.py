@@ -182,6 +182,34 @@ def test_md_fastpath_fused_rejects_unaligned_tile_capacity(system):
         )
 
 
+def test_md_fastpath_pallas_window_matches_xla(system):
+    """window_impl='pallas' (fused VMEM pair kernel, interpret mode on CPU)
+    reproduces the XLA window engine's step to f32 accuracy."""
+    charges, cell, positions = system
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    q, c, p = f32(charges), f32(cell), f32(positions)
+    calc = _calc()
+    fps = {
+        impl: tpme.MDFastPath.create(
+            calc, p, c, CUTOFF, NS, window_impl=impl
+        )
+        for impl in ("xla", "pallas")
+    }
+    assert fps["pallas"].window_impl == "pallas"
+    out = {}
+    for impl, fp in fps.items():
+        rows = fp.bucket(p)
+        e, g = jax.jit(jax.value_and_grad(fp.energy, argnums=2))(q, c, rows)
+        out[impl] = (float(e), np.asarray(fp.unbucket(g)))
+    np.testing.assert_allclose(out["pallas"][0], out["xla"][0], rtol=2e-5)
+    scale = np.max(np.abs(out["xla"][1]))
+    np.testing.assert_allclose(
+        out["pallas"][1] / scale, out["xla"][1] / scale, atol=2e-5
+    )
+    # rebucket preserves the engine choice
+    assert fps["pallas"].rebucket(fps["pallas"].bucket(p), c).window_impl == "pallas"
+
+
 def test_energy_rows_accepts_plain_callable(system):
     """A bare v(d) callable must take the documented autodiff path, like
     cell_list_rspace_energy, instead of crashing in the custom VJP."""

@@ -47,6 +47,12 @@ from .ops.rspace_cells import (
 __all__ = ["MDFastPath", "MDFastPathDipole"]
 
 
+# Auto-policy for the real-space window engine on TPU.  "xla" keeps the
+# roll/matmul window; flip to "pallas" once the fused VMEM pair kernel
+# (ops/pallas/window_pallas.py) measures faster on hardware.
+_WINDOW_AUTO_TPU = "xla"
+
+
 def _row_mapping(clist: CellList, n_atoms: int) -> tuple[np.ndarray, int]:
     """Bucket-row id of every atom (spill extras appended after the cell
     rows), host-side."""
@@ -115,6 +121,9 @@ class MDFastPath:
     cell_grid: tuple[int, int, int, int] | None = field(
         metadata=dict(static=True), default=None
     )
+    #: "xla" (roll/matmul window) or "pallas" (fused VMEM pair kernel) for
+    #: the real-space engine; see ops.rspace_cells._window_spec
+    window_impl: str = field(metadata=dict(static=True), default="xla")
 
     @classmethod
     def create(
@@ -127,6 +136,7 @@ class MDFastPath:
         cell_capacity: int | None = None,
         tile_capacity: int | None = None,
         mesh_impl: str = "auto",
+        window_impl: str = "auto",
         _spill: bool | None = None,
     ) -> "MDFastPath":
         """Bucket ``positions`` for ``calc`` (host-side, eager).
@@ -146,6 +156,10 @@ class MDFastPath:
             allows (one mesh tile ≥ the cutoff per x/y cell, ≥32768 atoms
             — the measured crossover), else "fused"; on other backends
             "tiled".
+        :param window_impl: real-space window engine — ``"xla"`` (the
+            roll/matmul window) or ``"pallas"`` (the fused VMEM pair kernel,
+            needs the potential's ``window_pair_math`` hook).  ``"auto"``
+            follows the measured TPU policy.
         """
         from .ops.mesh_tiled import supports_tiling
 
@@ -182,6 +196,27 @@ class MDFastPath:
             raise ValueError(
                 f"`mesh_impl` is {mesh_impl!r} but must be 'auto', 'tiled', "
                 "'fused' or 'aligned'"
+            )
+        if window_impl == "auto":
+            import jax as _jax
+
+            from .ops.rspace_cells import _can_use_analytic_derivative
+            from .ops.pallas.window_pallas import can_use_pallas_window
+
+            window_impl = (
+                "pallas"
+                if (
+                    _WINDOW_AUTO_TPU == "pallas"
+                    and _jax.default_backend() == "tpu"
+                    and _can_use_analytic_derivative(calc.potential)
+                    and can_use_pallas_window(calc.potential, cutoff)
+                )
+                else "xla"
+            )
+        if window_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"`window_impl` is {window_impl!r} but must be 'auto', "
+                "'xla' or 'pallas'"
             )
         if (
             mesh_impl == "fused"
@@ -256,6 +291,7 @@ class MDFastPath:
             n_atoms=n_atoms,
             mesh_impl=mesh_impl,
             cell_grid=cell_grid,
+            window_impl=window_impl,
         )
 
     @staticmethod
@@ -307,6 +343,7 @@ class MDFastPath:
                 None if self.tiled is None else self.tiled.local_x.shape[1]
             ),
             mesh_impl=self.mesh_impl,
+            window_impl=self.window_impl,
             _spill=self.clist.extra_index is not None,
         )
 
@@ -321,7 +358,12 @@ class MDFastPath:
         layout with no bucket scatter.  NaN when the bucketing is stale.
         """
         e_sr = cell_list_rspace_energy_rows(
-            self.calc.potential, charges, pos_rows, cell, self.clist
+            self.calc.potential,
+            charges,
+            pos_rows,
+            cell,
+            self.clist,
+            window_impl=self.window_impl,
         )
         if self.mesh_impl == "aligned":
             from .ops.pallas.spread_fused import aligned_tiled_density

@@ -577,6 +577,36 @@ def _can_use_analytic_derivative(potential) -> bool:
     )
 
 
+def _window_spec(cutoff, chunks, potential, window_impl="xla"):
+    """Static window spec ``(cutoff, chunks, use_analytic, use_pallas)``.
+
+    ``window_impl`` picks the fused value-and-gradient engine: ``"xla"`` (the
+    roll/matmul window) or ``"pallas"`` (the VMEM-resident kernel,
+    :mod:`torchpme_tpu.ops.pallas.window_pallas`).  Pallas additionally
+    requires the potential's ``window_pair_math`` hook to produce a
+    kernel-ready pair math for this cutoff *and* the analytic-derivative gate
+    (concrete parameters) — a hard error otherwise, so callers that auto-pick
+    never silently change engines."""
+    use_analytic = _can_use_analytic_derivative(potential)
+    if window_impl == "xla":
+        return (float(cutoff), chunks, use_analytic)
+    if window_impl != "pallas":
+        raise ValueError(
+            f"`window_impl` is {window_impl!r} but must be 'xla' or 'pallas'"
+        )
+    from .pallas.window_pallas import can_use_pallas_window
+
+    if not use_analytic or not can_use_pallas_window(potential, cutoff):
+        raise ValueError(
+            "window_impl='pallas' requires a potential with a kernel-ready "
+            "`window_pair_math(cutoff)` (concrete parameters, range-separated, "
+            "no exclusion window, fit within tolerance); "
+            f"{type(potential).__name__} does not provide one here. "
+            "Use window_impl='xla'."
+        )
+    return (float(cutoff), chunks, True, True)
+
+
 def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     """One fused pass computing the window energy AND its full gradient.
 
@@ -691,6 +721,10 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
 
 
 def _we_fwd(spec, potential, pc_t, q_g, mf_g, offs):
+    if len(spec) > 3 and spec[3]:
+        from .pallas.window_pallas import pallas_window_value_and_grad
+
+        return pallas_window_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs)
     return _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs)
 
 
@@ -728,6 +762,12 @@ def _window_energy_split(spec, potential, pc_t, q_g, mf_g, offs, qi_g):
 
 
 def _we_split_fwd(spec, potential, pc_t, q_g, mf_g, offs, qi_g):
+    if len(spec) > 3 and spec[3]:
+        from .pallas.window_pallas import pallas_window_value_and_grad
+
+        return pallas_window_value_and_grad(
+            spec, potential, pc_t, q_g, mf_g, offs, qi_g
+        )
     return _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g)
 
 
@@ -735,7 +775,12 @@ _window_energy_split.defvjp(_we_split_fwd, _we_bwd)
 
 
 def cell_list_rspace_energy(
-    potential, charges: Array, positions: Array, cell: Array, clist: CellList
+    potential,
+    charges: Array,
+    positions: Array,
+    cell: Array,
+    clist: CellList,
+    window_impl: str = "xla",
 ) -> Array:
     r"""Total short-range energy :math:`\sum_i q_i V_i` from a cell list.
 
@@ -754,16 +799,13 @@ def cell_list_rspace_energy(
     pc_t, q_g, mf_g, offs, valid, chunks = _prepare(
         charges, positions, cell, clist
     )
-    spec = (
-        float(clist.cutoff),
-        chunks,
-        _can_use_analytic_derivative(potential),
-    )
     if hasattr(potential, "from_dist"):
         pot_obj = potential
+        spec = _window_spec(clist.cutoff, chunks, potential, window_impl)
         e0 = _window_energy(spec, potential, pc_t, q_g, mf_g, offs)
     else:
         pot_obj = _CallablePotential(potential)
+        spec = _window_spec(clist.cutoff, chunks, pot_obj)
         e0 = _we_math(spec, pot_obj, pc_t, q_g, mf_g, offs)
     if clist.extra_index is not None:
         pe, pe_abs, qe, valid_e = _prepare_extras(charges, positions, cell, clist)
@@ -776,7 +818,12 @@ def cell_list_rspace_energy(
 
 
 def cell_list_rspace_energy_rows(
-    potential, charges: Array, pos_rows: Array, cell: Array, clist: CellList
+    potential,
+    charges: Array,
+    pos_rows: Array,
+    cell: Array,
+    clist: CellList,
+    window_impl: str = "xla",
 ) -> Array:
     r"""Window energy from positions in bucket-ROW order — no O(atoms) gather.
 
@@ -803,11 +850,7 @@ def cell_list_rspace_energy_rows(
         spec = (float(clist.cutoff), chunks)
         e0 = _we_math(spec, potential, pc_t, q_g, mf_g, offs)
     else:
-        spec = (
-            float(clist.cutoff),
-            chunks,
-            _can_use_analytic_derivative(potential),
-        )
+        spec = _window_spec(clist.cutoff, chunks, potential, window_impl)
         e0 = _window_energy(spec, potential, pc_t, q_g, mf_g, offs)
     if clist.extra_index is not None:
         pe, pe_abs, qe, valid_e = _prepare_extras_bucketed(
