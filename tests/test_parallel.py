@@ -331,6 +331,135 @@ def test_sharded_md_state_validation(md_system):
     )
 
 
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_sharded_md_rows_matches_fast_path(device_mesh, md_system, triclinic):
+    """The rows entry (device-sharded bucket-row positions) must equal both
+    the atom-order sharded step and the single-chip cell-list fast path —
+    energy AND gradients, with forces returned in the sharded row layout."""
+    from torchpme_tpu.ops.rspace_cells import compute_cell_list
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy,
+        sharded_md_energy_rows,
+    )
+
+    charges, cell, positions = md_system
+    if triclinic:
+        cell = cell.at[1, 0].add(0.8).at[2, 1].add(-0.5)
+    calc = _md_calc("pme")
+    clist = compute_cell_list(positions, cell, MD_CUTOFF)
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, MD_NS, 8, rows=True
+    )
+    rows = state.bucket(positions)
+    np.testing.assert_allclose(
+        np.asarray(state.unbucket(rows)), np.asarray(positions)
+    )
+
+    def f_ref(q, c, p):
+        return calc.energy(q, c, p, cell_list=clist, ns_mesh=MD_NS)
+
+    def f_rows(q, c, r):
+        return sharded_md_energy_rows(calc, device_mesh, q, c, r, state)
+
+    e_ref = f_ref(charges, cell, positions)
+    e_sh = jax.jit(
+        lambda q, c, p: sharded_md_energy(calc, device_mesh, q, c, p, state)
+    )(charges, cell, positions)
+    e_rows = jax.jit(f_rows)(charges, cell, rows)
+    np.testing.assert_allclose(float(e_rows), float(e_ref), rtol=1e-11)
+    np.testing.assert_allclose(float(e_rows), float(e_sh), rtol=1e-12)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(charges, cell, positions)
+    g_rows = jax.jit(jax.grad(f_rows, argnums=(0, 1, 2)))(charges, cell, rows)
+    for name, a, b in zip(
+        ("charges", "cell"), g_ref[:2], g_rows[:2]
+    ):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-11 * scale,
+            err_msg=f"gradient w.r.t. {name} diverged",
+        )
+    # forces arrive in row layout; unbucket to compare, padded rows silent
+    f_atom = state.unbucket(g_rows[2])
+    scale = float(jnp.max(jnp.abs(g_ref[2])))
+    np.testing.assert_allclose(
+        np.asarray(f_atom), np.asarray(g_ref[2]), atol=5e-11 * scale
+    )
+    occupied = jnp.zeros(state.n_rows, bool).at[state.row_of_atom].set(True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(g_rows[2], axis=-1)[~occupied]), 0.0
+    )
+
+
+def test_sharded_md_rows_no_global_force_reduction(device_mesh, md_system):
+    """The rows force pass must not all-reduce anything of O(n_rows): the
+    force cotangent stays sharded (that is the point of the rows layout)."""
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy_rows,
+    )
+
+    charges, cell, positions = md_system
+    calc = _md_calc("pme")
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, MD_NS, 8, rows=True
+    )
+    rows = state.bucket(positions)
+    fn = jax.jit(
+        jax.grad(
+            lambda r: sharded_md_energy_rows(
+                calc, device_mesh, charges, cell, r, state
+            )
+        )
+    )
+    hlo = fn.lower(rows).compile().as_text()
+
+    import re
+
+    for shape in re.findall(r"all-reduce(?:-start)?\(?\)? ?= ?\(?([^)\n]*)", hlo):
+        for dims in re.findall(r"\w+\[([\d,]+)\]", shape):
+            elems = int(np.prod([int(d) for d in dims.split(",")]))
+            assert elems < state.n_rows, (
+                f"all-reduce of {elems} elements rivals the {state.n_rows}-row "
+                "layout — a global force reduction crept into the rows path"
+            )
+
+
+def test_sharded_md_rows_stale_poison_and_validation(device_mesh, md_system):
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy_rows,
+    )
+
+    charges, cell, positions = md_system
+    calc = _md_calc("pme")
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, MD_NS, 8, rows=True
+    )
+    rows = state.bucket(positions)
+    fn = jax.jit(
+        lambda r: sharded_md_energy_rows(
+            calc, device_mesh, charges, cell, r, state
+        )
+    )
+    drifted = rows.at[int(state.row_of_atom[0]), 0].add(float(cell[0, 0]) / 2)
+    assert bool(jnp.isnan(fn(drifted)))
+    assert bool(jnp.all(jnp.isnan(jax.jit(jax.grad(fn))(drifted))))
+
+    plain = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, MD_NS, 8
+    )
+    with pytest.raises(ValueError, match="rows=True"):
+        sharded_md_energy_rows(calc, device_mesh, charges, cell, rows, plain)
+    with pytest.raises(ValueError, match="rows=True"):
+        plain.bucket(positions)
+    with pytest.raises(ValueError, match="slab rows"):
+        sharded_md_energy_rows(
+            calc, device_mesh, charges, cell, rows[:-8], state
+        )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver contract: one sharded training step on 8 devices."""
     sys.path.insert(0, str(Path(__file__).parents[1]))

@@ -16,6 +16,7 @@ from .sharded_md import (
     ShardedMDState,
     compute_sharded_md_state,
     sharded_md_energy,
+    sharded_md_energy_rows,
 )
 
 __all__ = [
@@ -26,5 +27,6 @@ __all__ = [
     "pad_to_multiple",
     "sharded_ewald_potentials",
     "sharded_md_energy",
+    "sharded_md_energy_rows",
     "sharded_mesh_potentials",
 ]

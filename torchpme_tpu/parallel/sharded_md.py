@@ -66,6 +66,7 @@ __all__ = [
     "ShardedMDState",
     "compute_sharded_md_state",
     "sharded_md_energy",
+    "sharded_md_energy_rows",
 ]
 
 
@@ -94,6 +95,39 @@ class ShardedMDState:
     method: str = field(metadata=dict(static=True))
     n_devices: int = field(metadata=dict(static=True))
     n_atoms: int = field(metadata=dict(static=True))
+    #: rows mode only (``rows=True``): global slab-row id of every atom
+    #: (row ``d·cells_local·cap + c·cap + s`` of the ``(D, cells, cap)``
+    #: bucketing), and the tile tables re-indexed as *extended-local* row
+    #: ids — the device's own ``cells_local·cap`` rows followed by the
+    #: ppermuted right-neighbor first-plane rows (the SAME halo the window
+    #: exchange ships, so one halo serves both engines)
+    row_of_atom: Array | None = None
+    tm_slot_rows: Array | None = None
+
+    @property
+    def n_rows(self) -> int:
+        """Total slab rows (= cells · capacity; rows mode)."""
+        d, cells, cap = self.cl_slot_mask.shape
+        return d * cells * cap
+
+    def bucket(self, positions: Array) -> Array:
+        """Atom-order ``(N, 3)`` → slab rows ``(n_rows, 3)`` (rows mode)."""
+        if self.row_of_atom is None:
+            raise ValueError(
+                "this state was built without rows tables; pass rows=True "
+                "to compute_sharded_md_state"
+            )
+        rows = jnp.zeros((self.n_rows, 3), jnp.asarray(positions).dtype)
+        return rows.at[self.row_of_atom].set(positions)
+
+    def unbucket(self, rows: Array) -> Array:
+        """Slab rows back to atom order (one gather; rows mode)."""
+        if self.row_of_atom is None:
+            raise ValueError(
+                "this state was built without rows tables; pass rows=True "
+                "to compute_sharded_md_state"
+            )
+        return rows[self.row_of_atom]
 
 
 def compute_sharded_md_state(
@@ -105,6 +139,7 @@ def compute_sharded_md_state(
     n_devices: int = 8,
     cell_capacity: int | None = None,
     tile_capacity: int | None = None,
+    rows: bool = False,
 ) -> ShardedMDState:
     """Bucket atoms into per-device cell and mesh-tile slabs (host, eager).
 
@@ -116,6 +151,14 @@ def compute_sharded_md_state(
         ``nx/n_devices`` a multiple of 16, and ``ny`` must be a multiple of
         both 16 and ``n_devices`` (power-of-two meshes on 2^k devices with
         nx ≥ 16·D satisfy all of this).
+    :param rows: also build the slab-row tables for the bucket-order entry
+        (:func:`sharded_md_energy_rows`): positions live device-sharded in
+        bucket-row layout, so the step pays no replicated O(N) position
+        gather and no cross-device force reduction at all.  Requires every
+        mesh stencil that starts in a device's slab to belong to an atom of
+        that slab or the first cell plane of the next (always true when the
+        cell edge exceeds the stencil span ``interpolation_nodes × mesh
+        spacing`` — checked, with a hard error otherwise).
     """
     if ns_mesh is None:
         ns_mesh = calc.get_ns_mesh(cell)
@@ -194,6 +237,46 @@ def compute_sharded_md_state(
     atom_of_slot[tile_flat[order], rank_in] = order
     tm_atom_of_slot = jnp.asarray(atom_of_slot.reshape(D, n_tiles, capacity))
 
+    row_of_atom = None
+    tm_slot_rows = None
+    if rows:
+        # global slab-row id of every atom (spill=False: exactly one slot)
+        idx_np = np.asarray(clist.atom_index)
+        mask_np = np.asarray(clist.slot_mask)
+        flat_rows = np.arange(idx_np.size, dtype=np.int64).reshape(idx_np.shape)
+        row_of_atom_np = np.full(n_atoms, -1, dtype=np.int64)
+        row_of_atom_np[idx_np[mask_np]] = flat_rows[mask_np]
+        assert (row_of_atom_np >= 0).all()
+
+        # tile tables as extended-local row ids: a tile-slab-d slot may
+        # reference an atom of cell-slab d (local rows) or the first cell
+        # plane of slab d+1 (the window's ppermuted halo rows)
+        local_rows = per_dev * cellcap
+        plane_rows = nyc * nzc * cellcap
+        ext_rows = local_rows + plane_rows
+        a = atom_of_slot.reshape(D, n_tiles, capacity)
+        slot_rows = np.full_like(a, ext_rows, dtype=np.int64)
+        for d in range(D):
+            real = a[d] < n_atoms
+            r = row_of_atom_np[np.minimum(a[d], n_atoms - 1)]
+            d_c = r // local_rows
+            loc = r % local_rows
+            own = real & (d_c == d)
+            halo = real & (d_c == (d + 1) % D)
+            bad = real & ~own & ~halo
+            if bad.any() or (halo & (loc >= plane_rows)).any():
+                raise ValueError(
+                    "rows mode needs each device's mesh stencils confined to "
+                    "its own cell slab plus the next slab's first plane; this "
+                    "cell/mesh/nodes geometry violates that (stencil span "
+                    "exceeds the cell edge — use rows=False or a finer cell "
+                    "grid)"
+                )
+            slot_rows[d][own] = loc[own]
+            slot_rows[d][halo] = local_rows + loc[halo]
+        row_of_atom = jnp.asarray(row_of_atom_np, jnp.int32)
+        tm_slot_rows = jnp.asarray(slot_rows, jnp.int32)
+
     return ShardedMDState(
         cl_atom_index=cl_atom_index,
         cl_slot_mask=cl_slot_mask,
@@ -206,35 +289,24 @@ def compute_sharded_md_state(
         method=method,
         n_devices=D,
         n_atoms=n_atoms,
+        row_of_atom=row_of_atom,
+        tm_slot_rows=tm_slot_rows,
     )
 
 
-def _slab_window_energy(
-    potential, charges, cell, positions, cl_idx, cl_mask, cl_wrap,
-    n_axis, cutoff, rank, axis_name, n_dev,
-):
-    """Local slab's fused window energy + 1-plane halo exchange.
+def _slab_grids(pos_b, q_b, mask_b, cell, n_axis, rank, n_dev):
+    """Center-relative slab grids + staleness from bucket-order blocks.
 
-    The slab analog of ``rspace_cells._prepare`` + ``_window_energy``: cell
-    centers come from the device's global cell ids; the right neighbor's
-    first x plane of cells rides one ``ppermute`` (center-relative
-    coordinates make the periodic wrap cancel, including across the global
-    boundary), and the i-side charges are zeroed on the halo plane so each
-    unordered pair is counted exactly once globally.  Returns
-    ``(e_local, valid_local)``.
-    """
-    dtype = positions.dtype
+    ``pos_b`` is ``(cells_local, cap, 3)`` wrap-canonicalized positions,
+    ``q_b`` masked charges, ``mask_b`` the slot mask; cell centers come from
+    the device's *global* cell ids.  Returns
+    ``(pc_t, q_g, mf_g, centers, valid)`` in the window-grid layouts."""
+    dtype = pos_b.dtype
     nxc, nyc, nzc = n_axis
     bx = nxc // n_dev
-    n_cells_local, cap = cl_mask.shape
+    n_cells_local, cap = mask_b.shape
     n_axis_f = jnp.asarray([nxc, nyc, nzc], dtype=dtype)
-    n_channels = charges.shape[1]
-
-    mask_b = cl_mask
-    pos_b = positions[cl_idx] - jnp.matmul(
-        cl_wrap.astype(dtype), cell, precision="highest"
-    )
-    q_b = charges.astype(dtype)[cl_idx] * mask_b[..., None].astype(dtype)
+    n_channels = q_b.shape[-1]
 
     home = rank * n_cells_local + jnp.arange(n_cells_local, dtype=jnp.int32)
     home3 = jnp.stack(
@@ -254,6 +326,24 @@ def _slab_window_energy(
         precision="highest",
     )
     valid = jnp.all(jnp.abs(frac_t) < 0.5 + 1e-4)
+    return pc_t, q_g, mf_g, centers, valid
+
+
+def _slab_window_from_grids(
+    potential, pc_t, q_g, mf_g, cell, n_axis, cutoff, axis_name, n_dev,
+):
+    """Halo exchange + fused window energy on prepared slab grids.
+
+    The right neighbor's first x plane of cells rides one ``ppermute``
+    (center-relative coordinates make the periodic wrap cancel, including
+    across the global boundary), and the i-side charges are zeroed on the
+    halo plane so each unordered pair is counted exactly once globally.
+    Returns ``(e_local, pc_ext, q_ext, mf_ext)`` — the extended grids are
+    shared with the mesh side of the rows path (one halo serves both
+    engines)."""
+    dtype = pc_t.dtype
+    bx, cap = pc_t.shape[0], pc_t.shape[-1]
+    n_axis_f = jnp.asarray(n_axis, dtype=dtype)
 
     # halo: receive the right neighbor's first plane (source i sends to i-1)
     left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
@@ -293,6 +383,30 @@ def _slab_window_energy(
         (float(cutoff), chunks, use_analytic),
         potential, pc_ext, q_ext, mf_ext, offs, qi_ext,
     )
+    return e_local, pc_ext, q_ext, mf_ext
+
+
+def _slab_window_energy(
+    potential, charges, cell, positions, cl_idx, cl_mask, cl_wrap,
+    n_axis, cutoff, rank, axis_name, n_dev,
+):
+    """Local slab's fused window energy + 1-plane halo exchange (atom-order
+    entry: gathers the slab's atoms from replicated ``positions``).  The
+    slab analog of ``rspace_cells._prepare`` + ``_window_energy``.  Returns
+    ``(e_local, valid_local)``.
+    """
+    dtype = positions.dtype
+    mask_b = cl_mask
+    pos_b = positions[cl_idx] - jnp.matmul(
+        cl_wrap.astype(dtype), cell, precision="highest"
+    )
+    q_b = charges.astype(dtype)[cl_idx] * mask_b[..., None].astype(dtype)
+    pc_t, q_g, mf_g, _centers, valid = _slab_grids(
+        pos_b, q_b, mask_b, cell, n_axis, rank, n_dev
+    )
+    e_local, _, _, _ = _slab_window_from_grids(
+        potential, pc_t, q_g, mf_g, cell, n_axis, cutoff, axis_name, n_dev
+    )
     return e_local, valid
 
 
@@ -307,18 +421,38 @@ def _slab_tiled_density(
     ``tiled_points_to_mesh`` (weights recomputed from the current positions
     every step, so gradients are exact)."""
     dtype = positions.dtype
-    nx, ny, nz = ns_mesh
-    mx = nx // n_dev
-    ext = mx + 2 * TILE
-    n_tiles, capacity = atom_slot.shape
     n_atoms = positions.shape[0]
-    n_channels = charges.shape[1]
-    ty_count = ny // TILE
-
     padded_pos = jnp.concatenate(
         [positions, jnp.zeros((1, 3), dtype)], axis=0
     )
     pos_slots = padded_pos[atom_slot]  # (T, K, 3)
+    padded_q = jnp.concatenate(
+        [charges.astype(dtype), jnp.zeros((1, charges.shape[1]), dtype)], axis=0
+    )
+    q_slots = padded_q[atom_slot]  # (T, K, C)
+    empty = atom_slot == n_atoms
+    return _slab_spread_from_slots(
+        pos_slots, q_slots, empty, cell, ns_mesh, nodes, method, rank,
+        axis_name, n_dev,
+    )
+
+
+def _slab_spread_from_slots(
+    pos_slots, q_slots, empty, cell, ns_mesh, nodes, method, rank,
+    axis_name, n_dev,
+):
+    """Tile-GEMM spread + ring skirt fold from already-gathered slot tables.
+
+    ``pos_slots``/``q_slots`` are ``(T, K, …)`` per-tile tables (any gather
+    source: replicated atom order, or the rows path's extended-local slab
+    rows), ``empty`` the sentinel mask.  Returns ``(interior, valid)``."""
+    dtype = pos_slots.dtype
+    nx, ny, nz = ns_mesh
+    mx = nx // n_dev
+    ext = mx + 2 * TILE
+    n_tiles, capacity = pos_slots.shape[:2]
+    n_channels = q_slots.shape[-1]
+    ty_count = ny // TILE
     inverse_cell = jnp.linalg.inv(cell)
     frac = jnp.einsum(
         "tka,ab->tkb", pos_slots, inverse_cell, precision="highest"
@@ -345,7 +479,6 @@ def _slab_tiled_density(
     loc_x = lx - origin_x
     loc_y = (start[:, :, 1] - origin_y) % ny
 
-    empty = atom_slot == n_atoms
     valid = jnp.all(
         empty | ((loc_x >= 0) & (loc_x < TILE) & (loc_y < TILE))
     )
@@ -357,15 +490,11 @@ def _slab_tiled_density(
         weights=weights,
         slot_of_atom=jnp.zeros((0,), jnp.int32),  # unused on this path
         dropped=jnp.zeros((), jnp.int32),
-        atom_of_slot=atom_slot,
+        atom_of_slot=jnp.zeros((0,), jnp.int32),  # slot source is the caller's
         ns=(ext, ny, nz),
         nodes=nodes,
     )
     wxy, wz = _dense_weight_factors(interp)
-    padded_q = jnp.concatenate(
-        [charges.astype(dtype), jnp.zeros((1, n_channels), dtype)], axis=0
-    )
-    q_slots = padded_q[atom_slot]  # (T, K, C)
     qz = wz[..., None] * q_slots[:, :, None, :]
     extent = TILE + nodes - 1
     rho_tiles = lax.dot_general(
@@ -495,6 +624,155 @@ def sharded_md_energy(
         charges, cell, positions,
         state.cl_atom_index, state.cl_slot_mask, state.cl_atom_wrap,
         state.tm_atom_of_slot,
+        kfilter,
+    )
+
+    # k-space corrections, identical to PMECalculator._compute_kspace_energy
+    volume = jnp.abs(jnp.linalg.det(cell))
+    e_k = e_quad / volume
+    e_k = e_k - potential.self_contribution() * jnp.sum(charges**2)
+    charge_tot = jnp.sum(charges, axis=0)
+    e_k = e_k - 2 * potential.background_correction() * jnp.sum(
+        charge_tot**2
+    ) / volume
+    return e_r + e_k / 2
+
+
+def sharded_md_energy_rows(
+    calc,
+    device_mesh: Mesh,
+    charges: Array,
+    cell: Array,
+    pos_rows: Array,
+    state: ShardedMDState,
+    axis: str = "atoms",
+) -> Array:
+    r"""The slab-sharded MD step from device-sharded bucket rows.
+
+    Same math as :func:`sharded_md_energy`, but positions live in the slab-row
+    layout of :meth:`ShardedMDState.bucket` (``(n_rows, 3)``, leading axis
+    sharded over ``device_mesh[axis]``), the production layout for multi-chip
+    MD:
+
+    * no replicated O(N) position gather per device — each device reshapes
+      its own row block straight into the window grids;
+    * no cross-device force reduction — ``jax.grad`` w.r.t. ``pos_rows``
+      comes back in the same sharded row layout (the single-chip
+      :class:`~torchpme_tpu.md.MDFastPath` argument, applied per slab);
+    * the mesh spread gathers its tile tables from the *extended-local* rows
+      — the device's own rows plus the right-neighbor first-plane rows that
+      the window's halo ``ppermute`` already shipped, so the mesh side adds
+      **zero** extra collectives.
+
+    Requires ``state`` built with ``rows=True``.  Stale bucketings NaN-poison
+    the energy and all gradients, as everywhere else.
+    """
+    n_dev = device_mesh.shape[axis]
+    if n_dev != state.n_devices:
+        raise ValueError(
+            f"state was built for {state.n_devices} devices, mesh axis "
+            f"'{axis}' has {n_dev}"
+        )
+    if state.tm_slot_rows is None:
+        raise ValueError(
+            "sharded_md_energy_rows needs a state built with rows=True"
+        )
+    if charges.shape[0] != state.n_atoms:
+        raise ValueError(
+            f"state was built for {state.n_atoms} atoms, got {charges.shape[0]}"
+        )
+    if pos_rows.shape[0] != state.n_rows:
+        raise ValueError(
+            f"state has {state.n_rows} slab rows, got {pos_rows.shape[0]}"
+        )
+    potential = calc.potential
+    kfilter = calc._kspace_filter(cell, state.ns_mesh)  # (nx, ny, kz)
+    nxc, nyc, nzc = state.n_axis
+    plane_cells = nyc * nzc
+
+    def local(charges, cell, rows, cl_idx, cl_mask, cl_wrap, slot_rows,
+              kf_local):
+        rank = lax.axis_index(axis)
+        cl_idx, cl_mask, cl_wrap = cl_idx[0], cl_mask[0], cl_wrap[0]
+        slot_rows = slot_rows[0]
+        dtype = rows.dtype
+        cells_local, cap = cl_mask.shape
+        n_channels = charges.shape[1]
+
+        mask_b = cl_mask
+        pos_b = rows.reshape(cells_local, cap, 3) - jnp.matmul(
+            cl_wrap.astype(dtype), cell, precision="highest"
+        )
+        q_b = charges.astype(dtype)[cl_idx] * mask_b[..., None].astype(dtype)
+        pc_t, q_g, mf_g, centers, valid_r = _slab_grids(
+            pos_b, q_b, mask_b, cell, state.n_axis, rank, n_dev
+        )
+        e_r, pc_ext, q_ext, _mf_ext = _slab_window_from_grids(
+            potential, pc_t, q_g, mf_g, cell, state.n_axis, state.cutoff,
+            axis, n_dev,
+        )
+
+        # mesh side: absolute canonical positions of the extended-local rows,
+        # reconstructed from the grids the window halo already shipped
+        n_axis_f = jnp.asarray(state.n_axis, dtype=dtype)
+        halo_home = ((rank + 1) % n_dev) * cells_local + jnp.arange(
+            plane_cells, dtype=jnp.int32
+        )
+        halo3 = jnp.stack(
+            [
+                halo_home // (nyc * nzc),
+                (halo_home // nzc) % nyc,
+                halo_home % nzc,
+            ],
+            axis=-1,
+        ).astype(dtype)
+        centers_halo = jnp.matmul(
+            (halo3 + 0.5) / n_axis_f, cell, precision="highest"
+        )
+        centers_ext = jnp.concatenate([centers, centers_halo], axis=0)
+        ext_cells = cells_local + plane_cells
+        pc_rows = jnp.swapaxes(pc_ext, -1, -2).reshape(ext_cells, cap, 3)
+        pos_ext = (pc_rows + centers_ext[:, None, :]).reshape(-1, 3)
+        q_ext_rows = q_ext.reshape(-1, n_channels)
+
+        padded_pos = jnp.concatenate(
+            [pos_ext, jnp.zeros((1, 3), dtype)], axis=0
+        )
+        padded_q = jnp.concatenate(
+            [q_ext_rows, jnp.zeros((1, n_channels), dtype)], axis=0
+        )
+        pos_slots = padded_pos[slot_rows]
+        q_slots = padded_q[slot_rows]
+        empty = slot_rows == ext_cells * cap
+        interior, valid_m = _slab_spread_from_slots(
+            pos_slots, q_slots, empty, cell, state.ns_mesh, state.nodes,
+            state.method, rank, axis, n_dev,
+        )
+        e_k = _dft_quadratic_sharded(interior, kf_local, axis, n_dev)
+
+        # globalize the staleness flag BEFORE it multiplies the local
+        # partials: force cotangents stay sharded on this path (no psum to
+        # spread the NaN), so one device's staleness must poison every
+        # device's force rows, matching the single-chip contract
+        flag = jnp.where(valid_r & valid_m, 1.0, jnp.nan).astype(e_r.dtype)
+        flag = lax.psum(flag, axis) / n_dev
+        e_r = lax.psum(e_r * flag, axis)
+        e_k = lax.psum(e_k * flag, axis)
+        return e_r, e_k
+
+    e_r, e_quad = shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(
+            P(), P(), P(axis),
+            P(axis), P(axis), P(axis), P(axis),
+            P(None, axis, None),
+        ),
+        out_specs=(P(), P()),
+    )(
+        charges, cell, pos_rows,
+        state.cl_atom_index, state.cl_slot_mask, state.cl_atom_wrap,
+        state.tm_slot_rows,
         kfilter,
     )
 
