@@ -71,6 +71,21 @@ def test_window_kernel_matches_xla(n_channels):
     check_against_xla(*args, cutoff=3.0)
 
 
+@pytest.mark.parametrize("exponent", [2, 3, 6])
+def test_window_kernel_inverse_power_law(exponent):
+    """The kernel pair math covers the whole 1/r^p family: the incomplete
+    gamma Q(p/2, (αr)²) rides the same Chebyshev/Clenshaw treatment."""
+    from torchpme_tpu.potentials import InversePowerLawPotential
+
+    pot, charges, positions, cell, clist = make_system(
+        500, 11.0, 3.0, 0.9, seed=exponent
+    )
+    pot = InversePowerLawPotential(
+        exponent=exponent, smearing=0.9, prefactor=1.3
+    )
+    check_against_xla(pot, charges, positions, cell, clist, cutoff=3.0)
+
+
 def test_window_kernel_triclinic():
     args = make_system(700, 13.0, 3.0, 0.9, triclinic=True, seed=5)
     check_against_xla(*args, cutoff=3.0)
@@ -132,12 +147,17 @@ def test_pair_math_gates():
 def test_polyfit_accuracy():
     from scipy import special
 
-    from torchpme_tpu.ops.polyfit import fit_f32_horner, horner
+    from torchpme_tpu.ops.polyfit import clenshaw, fit_f32_cheb
 
     alpha = 0.6
-    p = fit_f32_horner(lambda r: special.erfc(alpha * r), 0.0, 5.0)
+    c = fit_f32_cheb(lambda r: special.erfc(alpha * r), 0.0, 5.0)
     r = np.linspace(0, 5.0, 3000)
     u = (2 * r / 5.0 - 1).astype(np.float32)
-    err = np.max(np.abs(horner(p, u) - special.erfc(alpha * r)))
+    err = np.max(np.abs(clenshaw(c, u) - special.erfc(alpha * r)))
     assert err < 4e-7
-    assert fit_f32_horner(lambda r: np.exp(-((3.0 * r) ** 2)), 0.0, 50.0) is None
+    # p = 6 incomplete gamma — the case the power-basis form could not fit
+    c6 = fit_f32_cheb(
+        lambda r: special.gammaincc(3.0, ((r / (1.1 * 2**0.5)) ** 2)), 0.0, 5.0
+    )
+    assert c6 is not None
+    assert fit_f32_cheb(lambda r: np.exp(-((3.0 * r) ** 2)), 0.0, 50.0) is None

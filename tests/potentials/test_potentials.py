@@ -208,6 +208,31 @@ def test_coulomb_sr_pair_force_matches_derivative():
         )
 
 
+def test_ipl_sr_hooks_match_autodiff():
+    """The 1/r^p analytic MD-fast-path hooks must equal d(sr_from_dist)/dr
+    at every closed-form exponent (Coulomb is the p = 1 case)."""
+    from torchpme_tpu.potentials import InversePowerLawPotential
+
+    r = jnp.linspace(0.3, 6.0, 64)
+    vq = jnp.linspace(-2.0, 2.0, 64)
+    for p in range(1, 7):
+        pot = InversePowerLawPotential(exponent=p, smearing=0.9, prefactor=1.7)
+        sr = pot.sr_from_dist(r)
+        analytic = pot.sr_derivative(r, sr)
+        autodiff = jax.vmap(jax.grad(lambda x: pot.sr_from_dist(x)))(r)
+        np.testing.assert_allclose(
+            np.asarray(analytic), np.asarray(autodiff), rtol=1e-11, atol=1e-16,
+            err_msg=f"exponent {p}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(pot.sr_pair_force(r, vq, vq * sr)),
+            np.asarray(vq * analytic),
+            rtol=1e-11,
+            atol=1e-16,
+            err_msg=f"exponent {p}",
+        )
+
+
 def test_spline_potential_prefactor_applied_once():
     """Direct-mode (smearing=None) from_dist scales linearly with prefactor.
 

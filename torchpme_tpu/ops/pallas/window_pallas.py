@@ -27,15 +27,15 @@ one Pallas kernel whose candidate tensors never leave VMEM:
   untouched.
 
 The pair math itself comes from the potential's ``window_pair_math(cutoff)``
-hook.  For :class:`~torchpme_tpu.potentials.CoulombPotential` that hook
-returns **transcendental-free Horner polynomials**: ``erfc(αr)`` and
-``exp(-α²r²)`` are entire functions, so adaptive-degree (≈12–14) minimax fits
-on the full ``[0, cutoff]`` domain reach ~1.5e-7 absolute error — below f32
-roundoff, i.e. numerically indistinguishable from libm on the f32 fast path —
-while replacing the two VPU-expensive transcendentals (erf measured at ~29
-Gelem/s on a v5e) with ~28 fused multiply-adds.  No domain guard is needed:
-the fits are valid down to r = 0 and the masked-candidate placeholder d = 1
-lies inside the domain.
+hook.  For the range-separated ``1/r^p`` family (Coulomb is p = 1) that hook
+returns **transcendental-free Chebyshev/Clenshaw evaluations**:
+``Q(p/2, (αr)²)`` and ``exp(-α²r²)`` are entire functions, so adaptive-degree
+(≈14–18) fits on the full ``[0, cutoff]`` domain reach ~2e-7 absolute error —
+below f32 roundoff, i.e. numerically indistinguishable from libm on the f32
+fast path — while replacing the VPU-expensive transcendentals (erf measured
+at ~29 Gelem/s on a v5e) with ~60 fused multiply-adds.  No domain guard is
+needed: the fits are valid down to r = 0 and the masked-candidate placeholder
+d = 1 lies inside the domain.
 
 No reference counterpart: the reference evaluates per-pair tensors over an
 explicit neighbor list (``/root/reference/src/torchpme/calculators/

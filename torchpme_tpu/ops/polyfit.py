@@ -2,14 +2,18 @@
 
 The fused Pallas pair-window kernel
 (:mod:`torchpme_tpu.ops.pallas.window_pallas`) replaces the SR pair math's
-transcendentals (``erfc``, ``exp``) with Horner polynomials evaluated in VMEM:
-both are *entire* functions, so a Chebyshev least-squares fit on the full
-``[0, cutoff]`` pair-distance domain converges fast (degree 13–21 reaches
-~1.5e-7 absolute — below f32 roundoff) and needs **no domain guard**: the fit
-is valid down to r = 0, where the masked-candidate placeholder d = 1 also
-lives.  Coefficients are computed in f64 at trace time (the potential's
-parameters are concrete floats there — the same gate as the analytic-force
-hook) and baked into the kernel as f32 constants.
+transcendentals (``erfc``/incomplete-gamma, ``exp``) with Chebyshev
+polynomials evaluated in VMEM: the target functions are *entire*, so a
+Chebyshev least-squares fit on the full ``[0, cutoff]`` pair-distance domain
+converges fast (degree 14–18 reaches ~2e-7 absolute — below f32 roundoff)
+and needs **no domain guard**: the fit is valid down to r = 0, where the
+masked-candidate placeholder d = 1 also lives.  Evaluation uses the Clenshaw
+recurrence *in the Chebyshev basis* — the power-basis (Horner) conversion is
+ill-conditioned in f32 beyond degree ~20 (the p = 5, 6 incomplete-gamma fits
+never reach tolerance through it; Clenshaw reaches 2.5e-7 at degree 18).
+Coefficients are computed in f64 at trace time (the potential's parameters
+are concrete floats there — the same gate as the analytic-force hook) and
+baked into the kernel as f32 constants.
 
 No reference counterpart (the reference evaluates ``torch.erfc`` per pair);
 this is a TPU-kernel enabler, not a numerical shortcut — the fit error is
@@ -20,19 +24,19 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fit_f32_horner", "horner"]
+__all__ = ["clenshaw", "fit_f32_cheb", "ipl_window_pair_math"]
 
 
-def fit_f32_horner(fn, lo, hi, tol=4e-7, max_degree=22):
-    """Power-basis coefficients of a fit of ``fn`` on ``[lo, hi]``.
+def fit_f32_cheb(fn, lo, hi, tol=4e-7, max_degree=24):
+    """Chebyshev coefficients of a fit of ``fn`` on ``[lo, hi]``.
 
     Fits in the normalized variable ``u = 2(r - lo)/(hi - lo) - 1`` by
-    Chebyshev least squares in f64, converts to the power basis, and verifies
-    the **f32 Horner** evaluation (the exact arithmetic the kernel performs)
-    against f64 ground truth on a dense grid.  Returns the f32 coefficient
-    array (highest degree last) of the lowest degree whose verified error is
-    ``< tol``, or ``None`` if no degree up to ``max_degree`` reaches it —
-    callers fall back to the transcendental path.
+    Chebyshev least squares in f64 and verifies the **f32 Clenshaw**
+    evaluation (the exact arithmetic the kernel performs) against f64 ground
+    truth on a dense grid.  Returns the f32 coefficient array (degree order,
+    ``T_0`` first) of the lowest degree whose verified error is ``< tol``,
+    or ``None`` if no degree up to ``max_degree`` reaches it — callers fall
+    back to the transcendental path.
     """
     lo, hi = float(lo), float(hi)
     r = np.linspace(lo, hi, 8001)
@@ -40,19 +44,76 @@ def fit_f32_horner(fn, lo, hi, tol=4e-7, max_degree=22):
     y = np.asarray(fn(r), np.float64)
     uf = u.astype(np.float32)
     for deg in range(4, max_degree + 1):
-        cheb = np.polynomial.chebyshev.chebfit(u, y, deg)
-        p = np.polynomial.chebyshev.cheb2poly(cheb).astype(np.float32)
-        err = np.max(np.abs(horner(p, uf).astype(np.float64) - y))
+        c = np.polynomial.chebyshev.chebfit(u, y, deg).astype(np.float32)
+        err = np.max(np.abs(_clenshaw_f32(c, uf).astype(np.float64) - y))
         if err < tol:
-            return p
+            return c
     return None
 
 
-def horner(coeffs, u):
-    """Evaluate power-basis ``coeffs`` (lowest degree first) at ``u`` by
-    Horner's rule — one fused multiply-add per degree; works on numpy and
-    jnp arrays alike (the kernel calls it on VMEM tiles)."""
-    acc = u * 0.0 + coeffs[-1]
-    for c in coeffs[-2::-1]:
-        acc = acc * u + c
-    return acc
+def _clenshaw_f32(coeffs, u):
+    """Reference f32 Clenshaw used by the fit verification (numpy)."""
+    b1 = np.zeros_like(u)
+    b2 = np.zeros_like(u)
+    for k in range(len(coeffs) - 1, 0, -1):
+        b1, b2 = (2 * u * b1 - b2 + coeffs[k]).astype(np.float32), b1
+    return u * b1 - b2 + coeffs[0]
+
+
+def clenshaw(coeffs, u):
+    """Evaluate Chebyshev-basis ``coeffs`` (``T_0`` first) at ``u`` by the
+    Clenshaw recurrence — two fused multiply-adds per degree, numerically
+    stable in f32 at any practical degree; works on numpy and jnp arrays
+    alike (the kernel calls it on VMEM tiles)."""
+    b1 = u * 0.0
+    b2 = b1
+    for k in range(len(coeffs) - 1, 0, -1):
+        b1, b2 = 2 * u * b1 - b2 + coeffs[k], b1
+    return u * b1 - b2 + coeffs[0]
+
+
+def ipl_window_pair_math(prefactor, smearing, exponent, cutoff):
+    r"""Kernel pair math for the range-separated :math:`1/r^p` family.
+
+    The SR pair terms are :math:`V_{SR} = P\,Q(p/2, (\alpha r)^2)/r^p` and
+    :math:`V_{SR}' = -\bigl(p\,V_{SR} + P\,c\,e^{-(\alpha r)^2}\bigr)/r`
+    with :math:`\alpha = 1/(\sigma\sqrt2)` and
+    :math:`c = 2\alpha^p/\Gamma(p/2)`; both :math:`Q(p/2, (\alpha r)^2)`
+    (regularized upper incomplete gamma — ``erfc(αr)`` at p = 1) and the
+    Gaussian are entire functions of ``r``, so the Chebyshev treatment
+    reaches f32 roundoff on the full ``[0, cutoff]`` domain at every
+    integer exponent.  Returns a ``(d, ok, q_pair) -> (pair_e, s, v)``
+    callable for the fused Pallas window kernel, or ``None`` when either
+    fit cannot reach tolerance (extreme :math:`\alpha\,r_c` — callers fall
+    back to XLA).
+    """
+    import jax.numpy as jnp
+    from scipy import special as _sps
+
+    prefactor = float(prefactor)
+    smearing = float(smearing)
+    p = int(exponent)
+    alpha = 1.0 / (smearing * 2.0**0.5)
+    c_q = fit_f32_cheb(
+        lambda r: _sps.gammaincc(p / 2, (alpha * r) ** 2), 0.0, cutoff
+    )
+    c_gauss = fit_f32_cheb(
+        lambda r: np.exp(-((alpha * r) ** 2)), 0.0, cutoff
+    )
+    if c_q is None or c_gauss is None:
+        return None
+    # plain Python float: an np.float64 scalar here would strongly promote
+    # the whole force chain to f64 inside the f32 kernel
+    c_force = float(prefactor * 2.0 * alpha**p / _sps.gamma(p / 2))
+    u_scale = 2.0 / cutoff  # u = 2 d / cutoff - 1
+
+    def pair_math(d, ok, q_pair):
+        u = u_scale * d - 1.0
+        zero = jnp.zeros((), d.dtype)
+        vq = jnp.where(ok, q_pair, zero)
+        v_raw = prefactor * clenshaw(c_q, u) / d**p
+        pair_e = vq * v_raw
+        dd = -(p * pair_e + vq * (c_force * clenshaw(c_gauss, u))) / d
+        return pair_e, dd / d, jnp.where(ok, v_raw, zero)
+
+    return pair_math

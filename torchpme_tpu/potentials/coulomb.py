@@ -140,19 +140,17 @@ class CoulombPotential(Potential):
 
         With :math:`\alpha = 1/(\sigma\sqrt2)`, the SR pair terms need only
         :math:`\mathrm{erfc}(\alpha r)` and :math:`e^{-\alpha^2r^2}` — both
-        entire functions, so degree 13–21 Chebyshev fits on the full
-        ``[0, cutoff]`` domain reach ~1.5e-7 absolute (below f32 roundoff;
+        entire functions, so degree 14–18 Chebyshev fits on the full
+        ``[0, cutoff]`` domain reach ~2e-7 absolute (below f32 roundoff;
         see :mod:`torchpme_tpu.ops.polyfit`), replacing the two
-        VPU-expensive transcendentals with ~30 fused multiply-adds in VMEM.
+        VPU-expensive transcendentals with ~60 fused multiply-adds in VMEM.
         Returns ``None`` when parameters are traced (no cotangents exist in
         kernel mode) or the fit cannot reach tolerance (extreme
         :math:`\alpha\,r_c`); callers then use the XLA window engine.
         """
         import jax as _jax
-        import numpy as _np
-        from scipy import special as _sps
 
-        from ..ops.polyfit import fit_f32_horner, horner
+        from ..ops.polyfit import ipl_window_pair_math
 
         if self.smearing is None or self.exclusion_radius is not None:
             return None
@@ -161,28 +159,11 @@ class CoulombPotential(Potential):
             for leaf in _jax.tree_util.tree_leaves(self)
         ):
             return None
-        smearing = float(self.smearing)
-        prefactor = float(self.prefactor)
-        alpha = 1.0 / (smearing * 2.0**0.5)
-        p_erfc = fit_f32_horner(lambda r: _sps.erfc(alpha * r), 0.0, cutoff)
-        p_gauss = fit_f32_horner(
-            lambda r: _np.exp(-((alpha * r) ** 2)), 0.0, cutoff
+        # Coulomb is the p = 1 member of the 1/r^p family:
+        # Q(1/2, (αr)²) ≡ erfc(αr), c = 2α/Γ(1/2) = 2α/√π
+        return ipl_window_pair_math(
+            self.prefactor, self.smearing, 1, float(cutoff)
         )
-        if p_erfc is None or p_gauss is None:
-            return None
-        c_force = prefactor * 2.0 * alpha / _np.pi**0.5
-        u_scale = 2.0 / cutoff  # u = 2 d / cutoff - 1
-
-        def pair_math(d, ok, q_pair):
-            u = u_scale * d - 1.0
-            zero = jnp.zeros((), d.dtype)
-            vq = jnp.where(ok, q_pair, zero)
-            v_raw = prefactor * horner(p_erfc, u) / d
-            pair_e = vq * v_raw
-            dd = -(pair_e + vq * (c_force * horner(p_gauss, u))) / d
-            return pair_e, dd / d, jnp.where(ok, v_raw, zero)
-
-        return pair_math
 
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         if self.smearing is None:

@@ -72,6 +72,66 @@ class InversePowerLawPotential(Potential):
             result = result * pair_mask
         return self.prefactor * result
 
+    def sr_derivative(self, dist: Array, sr_values: Array) -> Array:
+        r"""Analytic :math:`dV_{SR}/dr` for the MD fast path.
+
+        With :math:`\alpha = 1/(\sigma\sqrt2)` and
+        :math:`V_{SR} = P\,Q(p/2, (\alpha r)^2)/r^p` (:math:`Q` the
+        regularized upper incomplete gamma):
+
+        .. math:: V_{SR}' = -\frac{p\,V_{SR}}{r}
+                  - P\,\frac{2\alpha^p}{\Gamma(p/2)}\,\frac{e^{-\alpha^2r^2}}{r}
+
+        Reuses ``sr_values`` so the only new transcendental is one ``exp``
+        (the Coulomb hook is the p = 1 case of this formula).
+        """
+        p = self.exponent
+        alpha_sq = 0.5 / self.smearing**2
+        c = (
+            self.prefactor
+            * 2.0
+            * alpha_sq ** (p / 2)
+            / gamma(jnp.asarray(p / 2))
+        )
+        gauss = jnp.exp(-alpha_sq * dist**2)
+        return -(p * sr_values + c * gauss) / dist
+
+    def sr_pair_force(self, dist: Array, vq: Array, pair_e: Array) -> Array:
+        r"""Pair-force numerator :math:`q_iq_j V'_{SR}` from the shared energy
+        product (see :meth:`CoulombPotential.sr_pair_force` for why this form
+        matters under XLA fusion)."""
+        p = self.exponent
+        alpha_sq = 0.5 / self.smearing**2
+        c = (
+            self.prefactor
+            * 2.0
+            * alpha_sq ** (p / 2)
+            / gamma(jnp.asarray(p / 2))
+        )
+        gauss = jnp.exp(-alpha_sq * dist**2)
+        return -(p * pair_e + vq * (c * gauss)) / dist
+
+    def window_pair_math(self, cutoff: float):
+        r"""Transcendental-free pair math for the fused Pallas window kernel
+        (:mod:`torchpme_tpu.ops.polyfit`): :math:`Q(p/2, (\alpha r)^2)` and
+        the Gaussian are entire in ``r``, so the same Chebyshev-fit Horner
+        treatment as Coulomb's applies at every integer exponent.  ``None``
+        for traced parameters or an unreachable fit tolerance."""
+        import jax as _jax
+
+        from ..ops.polyfit import ipl_window_pair_math
+
+        if self.smearing is None or self.exclusion_radius is not None:
+            return None
+        if any(
+            isinstance(leaf, _jax.core.Tracer)
+            for leaf in _jax.tree_util.tree_leaves(self)
+        ):
+            return None
+        return ipl_window_pair_math(
+            self.prefactor, self.smearing, self.exponent, float(cutoff)
+        )
+
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         if self.smearing is None:
             raise ValueError(
