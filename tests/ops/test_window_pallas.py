@@ -121,6 +121,36 @@ def test_rows_entry_point_with_pallas_engine():
     np.testing.assert_allclose(f_p / scale, f_x / scale, atol=2e-5)
 
 
+def test_window_kernel_combined_potential():
+    """A frozen (concrete-weight) CombinedPotential rides the kernel as the
+    weight-folded sum of its members' pair maths."""
+    from torchpme_tpu.potentials import (
+        CombinedPotential,
+        InversePowerLawPotential,
+    )
+
+    _, charges, positions, cell, clist = make_system(500, 11.0, 3.0, 0.9)
+    pot = CombinedPotential(
+        [
+            CoulombPotential(smearing=0.9),
+            InversePowerLawPotential(exponent=3, smearing=0.9),
+        ],
+        initial_weights=jnp.asarray([1.5, 0.7]),
+        smearing=0.9,
+    )
+    assert pot.sr_derivative is not None
+    check_against_xla(pot, charges, positions, cell, clist, cutoff=3.0)
+
+    # trainable weights (traced leaves): both hooks must refuse
+    def traced(w):
+        p = CombinedPotential(
+            [CoulombPotential(smearing=0.9)], initial_weights=w, smearing=0.9
+        )
+        return jnp.asarray(p.window_pair_math(3.0) is None)
+
+    assert jax.jit(traced)(jnp.asarray([1.0]))
+
+
 def test_pair_math_gates():
     # direct mode: no SR split to fit
     assert CoulombPotential(smearing=None).window_pair_math(3.0) is None

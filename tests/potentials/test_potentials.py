@@ -233,6 +233,38 @@ def test_ipl_sr_hooks_match_autodiff():
         )
 
 
+def test_combined_sr_derivative_matches_autodiff():
+    """A concrete CombinedPotential exposes the analytic hook as the
+    weight-folded sum of its members'; members without the hook disable it."""
+    from torchpme_tpu.potentials import (
+        CombinedPotential,
+        InversePowerLawPotential,
+        SplinePotential,
+    )
+
+    pot = CombinedPotential(
+        [
+            CoulombPotential(smearing=0.8),
+            InversePowerLawPotential(exponent=4, smearing=0.8),
+        ],
+        initial_weights=jnp.asarray([2.0, 0.5]),
+        smearing=0.8,
+    )
+    r = jnp.linspace(0.3, 5.0, 48)
+    analytic = pot.sr_derivative(r, pot.sr_from_dist(r))
+    autodiff = jax.vmap(jax.grad(lambda x: pot.sr_from_dist(x)))(r)
+    np.testing.assert_allclose(
+        np.asarray(analytic), np.asarray(autodiff), rtol=1e-11, atol=1e-16
+    )
+
+    r_grid = jnp.linspace(0.1, 10.0, 256)
+    spline = SplinePotential(r_grid, 1.0 / r_grid, smearing=0.8)
+    no_hook = CombinedPotential(
+        [CoulombPotential(smearing=0.8), spline], smearing=0.8
+    )
+    assert no_hook.sr_derivative is None
+
+
 def test_spline_potential_prefactor_applied_once():
     """Direct-mode (smearing=None) from_dist scales linearly with prefactor.
 

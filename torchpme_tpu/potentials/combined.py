@@ -109,6 +109,60 @@ class CombinedPotential(Potential):
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         return self._combine([p.lr_from_k_sq(k_sq) for p in self.potentials])
 
+    @property
+    def sr_derivative(self):
+        """Analytic combined :math:`dV_{SR}/dr` when every member has the
+        hook, else ``None`` (the fast path falls back to the autodiff
+        pullback — which trainable weights require anyway; the analytic gate
+        only fires when all leaves, weights included, are concrete).
+
+        Members recompute their own SR factors (the shared ``sr_values``
+        argument is the *combined* value, which cannot be split back), so
+        this costs one extra member-SR pass — still cheaper than the
+        ``jax.vjp`` re-walk of the whole combination.
+        """
+        if any(
+            getattr(p, "sr_derivative", None) is None for p in self.potentials
+        ):
+            return None
+
+        def deriv(dist: Array, sr_values: Array) -> Array:
+            del sr_values  # combined value; members re-derive their own
+            return self._combine(
+                [p.sr_derivative(dist, p.sr_from_dist(dist)) for p in self.potentials]
+            )
+
+        return deriv
+
+    def window_pair_math(self, cutoff: float):
+        """Kernel pair math = the weight-folded sum of the members' pair
+        maths (``None`` unless every member provides one and every leaf —
+        weights included — is concrete)."""
+        if any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves(self)
+        ):
+            return None
+        maths = []
+        for p in self.potentials:
+            hook = getattr(p, "window_pair_math", None)
+            m = hook(float(cutoff)) if hook is not None else None
+            if m is None:
+                return None
+            maths.append(m)
+        ws = [float(w) for w in jnp.asarray(self.weights)]
+
+        def pair_math(d, ok, q_pair):
+            pe = s = v = jnp.zeros((), d.dtype)
+            for w, m in zip(ws, maths):
+                pe_i, s_i, v_i = m(d, ok, q_pair)
+                pe = pe + w * pe_i
+                s = s + w * s_i
+                v = v + w * v_i
+            return pe, s, v
+
+        return pair_math
+
     def self_contribution(self) -> Array:
         return self._combine([p.self_contribution() for p in self.potentials])
 
