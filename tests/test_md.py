@@ -210,6 +210,41 @@ def test_md_fastpath_pallas_window_matches_xla(system):
     assert fps["pallas"].rebucket(fps["pallas"].bucket(p), c).window_impl == "pallas"
 
 
+def test_md_fastpath_aligned_plus_pallas_window():
+    """The two Pallas engines compose: aligned mesh state (fused spread,
+    rows double as tile slots) + the VMEM pair-window kernel."""
+    rng = np.random.default_rng(3)
+    n, box, cutoff = 240, 14.0, 3.0
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    charges = jnp.asarray(
+        np.tile([1.0, -1.0], n // 2).reshape(-1, 1), jnp.float32
+    )
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.9,
+        interpolation_nodes=4,
+    )
+    ns = (32, 32, 32)  # tile edge 14/(32/8) = 3.5 >= cutoff 3.0
+    out = {}
+    for mesh_impl, window_impl in (
+        ("tiled", "xla"), ("aligned", "pallas")
+    ):
+        fp = tpme.MDFastPath.create(
+            calc, positions, cell, cutoff, ns,
+            mesh_impl=mesh_impl, window_impl=window_impl,
+        )
+        rows = fp.bucket(positions)
+        e, g = jax.jit(jax.value_and_grad(fp.energy, argnums=2))(
+            charges, cell, rows
+        )
+        out[mesh_impl] = (float(e), np.asarray(fp.unbucket(g)))
+    e_ref, f_ref = out["tiled"]
+    e_p, f_p = out["aligned"]
+    np.testing.assert_allclose(e_p, e_ref, rtol=2e-5)
+    scale = np.max(np.abs(f_ref))
+    np.testing.assert_allclose(f_p / scale, f_ref / scale, atol=5e-5)
+
+
 def test_energy_rows_accepts_plain_callable(system):
     """A bare v(d) callable must take the documented autodiff path, like
     cell_list_rspace_energy, instead of crashing in the custom VJP."""
