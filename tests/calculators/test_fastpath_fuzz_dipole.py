@@ -216,3 +216,63 @@ def test_dipole_scalar_kernels_match_tensor_kernels():
             ref = pot.sr_from_dist(vec)
         built = b[:, None, None] * eye[None] - c[:, None, None] * outer
         np.testing.assert_allclose(np.asarray(built), np.asarray(ref), atol=1e-13)
+
+
+def test_dipole_analytic_force_gate_and_equality():
+    """The fused analytic dipolar VJP engages for concrete potentials, the
+    autodiff path for traced ones — and both give the same gradients."""
+    from torchpme_tpu.ops.rspace_cells_dipole import (
+        _can_use_analytic_dipole,
+        cell_list_rspace_dipole_energy,
+    )
+
+    positions, dipoles, cell, cutoff, rng = _random_system(421)
+    clist = compute_cell_list(positions, cell, cutoff, capacity=64, spill=False)
+    pot = PotentialDipole(smearing=1.0, prefactor=1.3)
+    assert _can_use_analytic_dipole(pot)
+    assert not _can_use_analytic_dipole(
+        PotentialDipole(smearing=1.0, exclusion_radius=1.0)
+    )
+
+    def e_analytic(p, m, c):
+        return cell_list_rspace_dipole_energy(pot, m, p, c, clist)
+
+    def e_traced(p, m, c, pref):
+        # traced prefactor -> the gate refuses, plain autodiff runs
+        pot_t = PotentialDipole(smearing=1.0, prefactor=pref)
+        return cell_list_rspace_dipole_energy(pot_t, m, p, c, clist)
+
+    args = (positions, dipoles, cell)
+    e1, g1 = jax.jit(jax.value_and_grad(e_analytic, argnums=(0, 1, 2)))(*args)
+    e2, g2 = jax.jit(jax.value_and_grad(e_traced, argnums=(0, 1, 2)))(
+        *args, jnp.asarray(1.3)
+    )
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+    for a, b in zip(g1, g2):
+        scale = max(1e-10, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12 * scale)
+    # the traced path still carries potential-parameter gradients
+    gp = jax.grad(e_traced, argnums=3)(*args, jnp.asarray(1.3))
+    np.testing.assert_allclose(float(gp), float(e2) / 1.3, rtol=1e-10)
+
+
+def test_dipole_scalar_kernel_derivatives_match_autodiff():
+    from torchpme_tpu.potentials import PotentialDipole as PD
+
+    d = jnp.linspace(0.4, 4.0, 40)
+    pot = PD(smearing=0.8, prefactor=2.1)
+    b, c = pot.sr_scalar_kernels(d)
+    cp = pot.sr_scalar_kernel_derivative(d, b, c)
+    cp_auto = jax.vmap(jax.grad(lambda x: pot.sr_scalar_kernels(x)[1]))(d)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cp_auto), rtol=1e-9)
+    # dB/dr = -C r identity (the engine relies on it)
+    bp_auto = jax.vmap(jax.grad(lambda x: pot.sr_scalar_kernels(x)[0]))(d)
+    np.testing.assert_allclose(np.asarray(bp_auto), np.asarray(-c * d), rtol=1e-9)
+    potd = PD(prefactor=2.1)
+    bd, cd = potd.scalar_kernels(d)
+    cpd_auto = jax.vmap(jax.grad(lambda x: potd.scalar_kernels(x)[1]))(d)
+    np.testing.assert_allclose(
+        np.asarray(potd.scalar_kernel_derivative(d, bd, cd)),
+        np.asarray(cpd_auto),
+        rtol=1e-12,
+    )

@@ -11,7 +11,19 @@ never materialized: every dipolar pair kernel here is
 
 with the dot products built from the window's existing position blocks
 (``μ·r = μ·p_j − μ·p_i`` — no ``(…, cap, W, 3)`` displacement tensor).
-Gradients flow by plain autodiff (the window is roll/einsum/reduce only).
+
+Like the scalar engine, the energy rides a **fused value-and-gradient custom
+VJP** when the potential's parameters are concrete: since ``K`` is a gradient
+field, ``dB/dr = −C·r`` holds identically, so the analytic pair forces need
+only the potential's ``(sr_)scalar_kernel_derivative`` hook (``C′``, one new
+``exp``) — per chunk,
+
+.. math:: \partial E/\partial p_i = \sum_j\bigl[-s_{ij}\,r_{ij}
+          + C_{ij}(R^j_{ij}\mu_i + R^i_{ij}\mu_j)\bigr],\qquad
+          s = \bigl(B'M - C'R^iR^j\bigr)/d,
+
+with every term an MXU-batched contraction and only O(atoms) residuals
+(trainable dipolar potentials keep the plain autodiff path automatically).
 
 No reference counterpart: the reference's dipolar calculator is pair-list
 only (``/root/reference/src/torchpme/calculators/calculator_dipole.py``);
@@ -20,6 +32,9 @@ this is the TPU cell-list fast path applied to it.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -27,6 +42,7 @@ from .rspace_cells import (
     CellList,
     _chunk_geometry,
     _prepare,
+    _we_bwd,
 )
 
 __all__ = [
@@ -96,19 +112,53 @@ def _reject_spill(clist: CellList) -> None:
         )
 
 
+def _scalar_hooks(potential):
+    """(B, C) kernels and the C′ hook for the potential's mode."""
+    if potential.smearing is None:
+        return potential.scalar_kernels, getattr(
+            potential, "scalar_kernel_derivative", None
+        )
+    return potential.sr_scalar_kernels, getattr(
+        potential, "sr_scalar_kernel_derivative", None
+    )
+
+
+def _can_use_analytic_dipole(potential) -> bool:
+    """Same gating discipline as the scalar engine's analytic hook: the C′
+    hook must exist, the exclusion window must be off (its extra f(r) terms
+    are not covered), and every parameter must be concrete — the fused pass
+    produces no potential-parameter cotangents.  Must be evaluated at the
+    call site (outer-trace tracers are invisible inside the custom VJP)."""
+    if getattr(potential, "exclusion_radius", None) is not None:
+        return False
+    if _scalar_hooks(potential)[1] is None:
+        return False
+    return not any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree_util.tree_leaves(potential)
+    )
+
+
 def _dipole_window_energy(
     potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist
 ) -> Array:
-    if potential.smearing is None:
-        scalars = potential.scalar_kernels
+    spec = (float(clist.cutoff), chunks, _can_use_analytic_dipole(potential))
+    if spec[2]:
+        e = _dw_energy(spec, potential, pc_t, mu_g, mf_g, offs)
     else:
-        scalars = potential.sr_scalar_kernels
+        e = _dw_math(spec, potential, pc_t, mu_g, mf_g, offs)
+    return e * jnp.where(valid, 1.0, jnp.nan).astype(e.dtype)
+
+
+def _dw_math(spec, potential, pc_t, mu_g, mf_g, offs) -> Array:
+    """Primal window energy (plain autodiff path for traced potentials)."""
+    scalars = _scalar_hooks(potential)[0]
     dtype = pc_t.dtype
-    cutoff_sq = jnp.asarray(float(clist.cutoff), dtype) ** 2
+    cutoff_sq = jnp.asarray(spec[0], dtype) ** 2
 
     e = jnp.zeros((), dtype)
     k0 = 0
-    for chunk in chunks:
+    for chunk in spec[1]:
         pj, muj, pair_ok, d = _chunk_geometry(
             chunk, k0, pc_t, mu_g, mf_g, offs, cutoff_sq, scale_self=True
         )
@@ -131,4 +181,121 @@ def _dipole_window_energy(
         )
         e = e + jnp.sum(okf * (b * mumu - c * mur_i * mur_j))
         k0 += len(chunk)
-    return e * jnp.where(valid, 1.0, jnp.nan).astype(dtype)
+    return e
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dw_energy(spec, potential, pc_t, mu_g, mf_g, offs):
+    return _dw_math(spec, potential, pc_t, mu_g, mf_g, offs)
+
+
+def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs):
+    """One fused pass: dipolar window energy AND its full analytic gradient.
+
+    Same architecture as ``rspace_cells._we_value_and_grad`` — the energy is
+    a scalar, so every cotangent is ``ē × (fixed array)``; the forward
+    computes them all (sharing the geometry, ``(B, C)`` kernels and the dot
+    products with the value) and the backward is a trivial scale.  Per-chunk
+    cotangent algebra, with ``r = p_j − p_i``, ``M = μi·μj``, ``Ri = μi·r``,
+    ``Rj = μj·r``, ``s = (B′M − C′RiRj)/d`` and ``B′ = −C·d``:
+
+    * ``∂E/∂p_i = Σ_j −s·r + C(Rj μi + Ri μj)``, mirrored on the j side and
+      rolled home (+ the per-offset totals → the ``offs``/cell gradient);
+    * ``∂E/∂μ_i = Σ_j B μj − C Rj r``, mirrored on the j side (the j-side
+      cotangent carries the self-block ½, like the scalar engine's ``qj``).
+    """
+    Pr = "highest"
+    scalars, cderiv = _scalar_hooks(potential)
+    dtype = pc_t.dtype
+    cap = pc_t.shape[-1]
+    cutoff_sq = jnp.asarray(spec[0], dtype) ** 2
+
+    e = jnp.zeros((), dtype)
+    d_pc = jnp.zeros_like(pc_t)
+    d_mu = jnp.zeros_like(mu_g)
+    d_offs = jnp.zeros_like(offs)
+    mu_t = jnp.moveaxis(mu_g, -1, -2)  # (…, 3, cap)
+    pc_rows = jnp.moveaxis(pc_t, -2, -1)  # (…, cap, 3)
+    k0 = 0
+    for chunk in spec[1]:
+        pj, muj, pair_ok, d = _chunk_geometry(
+            chunk, k0, pc_t, mu_g, mf_g, offs, cutoff_sq, scale_self=True
+        )
+        okf = pair_ok.astype(dtype)
+        b, c = scalars(d)
+        cp = cderiv(d, b, c)
+        mumu = jnp.einsum("...ic,...jc->...ij", mu_g, muj, precision=Pr)
+        ri = jnp.einsum(
+            "...ic,...cj->...ij", mu_g, pj, precision=Pr
+        ) - jnp.einsum("...ic,...ci->...i", mu_g, pc_t, precision=Pr)[..., None]
+        rj = jnp.einsum(
+            "...jc,...cj->...j", muj, pj, precision=Pr
+        )[..., None, :] - jnp.einsum(
+            "...jc,...ci->...ij", muj, pc_t, precision=Pr
+        )
+        bt = okf * b
+        ct = okf * c
+        rirj = ri * rj
+        e = e + jnp.sum(bt * mumu - ct * rirj)
+
+        # pair weight s = (B'M − C'RiRj)/d with B' = −C·d
+        s = -(ct * mumu) - (okf * cp / d) * rirj
+        ct_rj = ct * rj
+        ct_ri = ct * ri
+        rowsum = jnp.sum(s, axis=-1)  # (…, cap)
+        colsum = jnp.sum(s, axis=-2)  # (…, W)
+        row_rj = jnp.sum(ct_rj, axis=-1)  # (…, cap)
+        col_ri = jnp.sum(ct_ri, axis=-2)  # (…, W)
+        cross_i = jnp.einsum("...ij,...dj->...di", s, pj, precision=Pr)
+        cross_j = jnp.einsum("...ij,...di->...dj", s, pc_t, precision=Pr)
+
+        # position cotangents (engine layouts: pc (…,3,cap), pj (…,3,W))
+        d_pc = (
+            d_pc
+            + pc_t * rowsum[..., None, :]
+            - cross_i
+            + mu_t * row_rj[..., None, :]
+            + jnp.einsum("...ij,...jc->...ci", ct_ri, muj, precision=Pr)
+        )
+        d_pj = (
+            pj * colsum[..., None, :]
+            - cross_j
+            - jnp.einsum("...ij,...ic->...cj", ct_rj, mu_g, precision=Pr)
+            - jnp.moveaxis(muj, -1, -2) * col_ri[..., None, :]
+        )
+
+        # dipole cotangents (mu layouts: (…, cap/W, 3))
+        d_mu = (
+            d_mu
+            + jnp.einsum("...ij,...jc->...ic", bt, muj, precision=Pr)
+            - jnp.einsum("...ij,...cj->...ic", ct_rj, pj, precision=Pr)
+            + pc_rows * row_rj[..., None]
+        )
+        d_muj = (
+            jnp.einsum("...ij,...ic->...jc", bt, mu_g, precision=Pr)
+            - jnp.moveaxis(pj, -2, -1) * col_ri[..., None]
+            + jnp.einsum("...ij,...ci->...jc", ct_ri, pc_t, precision=Pr)
+        )
+
+        for t, (dx, dy, dz) in enumerate(chunk):
+            w = 0.5 if (dx, dy, dz) == (0, 0, 0) else 1.0
+            blk_p = d_pj[..., t * cap : (t + 1) * cap]
+            blk_mu = d_muj[..., t * cap : (t + 1) * cap, :]
+            d_pc = d_pc + jnp.roll(blk_p, (dx, dy, dz), axis=(0, 1, 2))
+            d_mu = d_mu + jnp.roll(blk_mu, (dx, dy, dz), axis=(0, 1, 2)) * w
+            d_offs = d_offs.at[k0 + t].add(jnp.sum(blk_p, axis=(0, 1, 2, 4)))
+        k0 += len(chunk)
+
+    d_pot = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(jnp.asarray(x)), potential
+    )
+    return e, (d_pot, d_pc, d_mu, jnp.zeros_like(mf_g), d_offs)
+
+
+def _dw_fwd(spec, potential, pc_t, mu_g, mf_g, offs):
+    return _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs)
+
+
+# the scalar engine's backward is structure-agnostic: it scales every
+# cotangent by ē (skipping the structural-zeros potential tree, spec[2])
+_dw_energy.defvjp(_dw_fwd, _we_bwd)
