@@ -172,6 +172,11 @@ def test_pair_math_gates():
         rc.cell_list_rspace_energy(
             pot, charges, positions, cell, clist, window_impl="pallas"
         )
+    with pytest.raises(ValueError, match="requires a Potential"):
+        rc.cell_list_rspace_energy(
+            lambda d: 1.0 / d, charges, positions, cell, clist,
+            window_impl="pallas",
+        )
 
 
 def test_polyfit_accuracy():

@@ -804,6 +804,11 @@ def cell_list_rspace_energy(
         spec = _window_spec(clist.cutoff, chunks, potential, window_impl)
         e0 = _window_energy(spec, potential, pc_t, q_g, mf_g, offs)
     else:
+        if window_impl != "xla":
+            raise ValueError(
+                "plain v(d) callables take the autodiff window; "
+                f"window_impl={window_impl!r} requires a Potential"
+            )
         pot_obj = _CallablePotential(potential)
         spec = _window_spec(clist.cutoff, chunks, pot_obj)
         e0 = _we_math(spec, pot_obj, pc_t, q_g, mf_g, offs)
@@ -846,6 +851,11 @@ def cell_list_rspace_energy_rows(
     if not hasattr(potential, "from_dist"):
         # plain v(d) callable: same adapter + autodiff path as
         # cell_list_rspace_energy
+        if window_impl != "xla":
+            raise ValueError(
+                "plain v(d) callables take the autodiff window; "
+                f"window_impl={window_impl!r} requires a Potential"
+            )
         potential = _CallablePotential(potential)
         spec = (float(clist.cutoff), chunks)
         e0 = _we_math(spec, potential, pc_t, q_g, mf_g, offs)
