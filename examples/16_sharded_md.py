@@ -18,6 +18,12 @@ Two entries:
   layout (``state.bucket``), forces come back in the same sharded layout
   with **no global reduction**: the production multi-chip layout.
 
+With ``aligned=True`` (tile edge ≥ cutoff, ``nx/8`` divisible by the device
+count, float32 state) the rows entry additionally drops every mesh-side
+gather: each device's bucket rows double as its mesh-tile slots and the
+fused Pallas spread runs per slab — the sharded analog of the single-chip
+``mesh_impl="aligned"`` state of example 15.
+
 Run under pytest (8 virtual CPU devices from ``tests/conftest.py``) or any
 host with ≥ 8 JAX devices.
 """
@@ -100,3 +106,31 @@ for i in range(3):
     r = r - dt * g  # steepest descent, for brevity
     print(f"step {i}: E = {float(e):+.8f}")
 print("drifted rows stay finite:", bool(jnp.all(jnp.isfinite(r))))
+
+# --- tile-ALIGNED rows: zero mesh-side gathers (float32 state) --------------
+# This 10.0 box cannot align a 128-plane mesh (tile edge 10/16 < cutoff), so
+# demonstrate on a 16.0 box where tile edge = 16/16 = 1.0 = cutoff.
+box_al = 16.0
+pos_al = jnp.asarray(rng.uniform(0, box_al, (n, 3)), jnp.float32)
+cell_al = jnp.eye(3, dtype=jnp.float32) * box_al
+q_al = charges.astype(jnp.float32)
+state_al = compute_sharded_md_state(
+    calc, pos_al, cell_al, cutoff, ns_mesh, n_devices=8, aligned=True
+)
+rows_al = state_al.bucket(pos_al)
+e_al, f_al = jax.jit(
+    jax.value_and_grad(
+        lambda r: sharded_md_energy_rows(calc, mesh, q_al, cell_al, r, state_al)
+    )
+)(rows_al)
+clist_al = tpme.ops.compute_cell_list(pos_al, cell_al, cutoff)
+e_al_ref = calc.energy(
+    q_al.astype(jnp.float64),
+    cell_al.astype(jnp.float64),
+    pos_al.astype(jnp.float64),
+    cell_list=clist_al,
+    ns_mesh=ns_mesh,
+)
+print(f"aligned rows sharded energy: {float(e_al):+.8f} (f64 ref {float(e_al_ref):+.8f})")
+assert abs(float(e_al) - float(e_al_ref)) < 1e-4 * max(1.0, abs(float(e_al_ref)))
+assert bool(jnp.all(jnp.isfinite(f_al)))

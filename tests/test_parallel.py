@@ -460,6 +460,152 @@ def test_sharded_md_rows_stale_poison_and_validation(device_mesh, md_system):
         )
 
 
+@pytest.fixture(scope="module")
+def md_system_aligned():
+    """f32 system whose box admits the tile-aligned (16, 2) x/y cell grid at
+    the test cutoff (tile edge = 16/16 = 1.0 = cutoff)."""
+    rng = np.random.default_rng(7)
+    n, box = 500, 16.0
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    charges = jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)
+    charges = charges - charges.mean()
+    cell = jnp.eye(3, dtype=jnp.float32) * box
+    return charges, cell, positions
+
+
+def test_sharded_md_rows_aligned_matches_fast_path(
+    device_mesh, md_system_aligned
+):
+    """The tile-ALIGNED rows step (bucket rows double as mesh-tile slots, no
+    mesh-side gather) must match the single-chip aligned fast path and the
+    f64 reference — energy and forces, forces in the sharded row layout."""
+    from torchpme_tpu.md import MDFastPath
+    from torchpme_tpu.ops.rspace_cells import compute_cell_list
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy_rows,
+    )
+
+    charges, cell, positions = md_system_aligned
+    calc = _md_calc("pme")
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, (128, 16, 16), 8, aligned=True
+    )
+    assert state.aligned and state.tm_slot_rows is None
+    rows = state.bucket(positions)
+
+    def f_sh(q, c, r):
+        return sharded_md_energy_rows(calc, device_mesh, q, c, r, state)
+
+    e_sh = jax.jit(f_sh)(charges, cell, rows)
+
+    # single-chip aligned fast path (same f32 kernels, single fold)
+    fp = MDFastPath.create(
+        calc, positions, cell, MD_CUTOFF, ns_mesh=(128, 16, 16),
+        mesh_impl="aligned",
+    )
+    e_one = jax.jit(fp.energy)(charges, cell, fp.bucket(positions))
+    np.testing.assert_allclose(float(e_sh), float(e_one), rtol=2e-5)
+
+    # f64 ground truth
+    pos64 = positions.astype(jnp.float64)
+    cell64 = cell.astype(jnp.float64)
+    q64 = charges.astype(jnp.float64)
+    clist = compute_cell_list(pos64, cell64, MD_CUTOFF)
+    e_ref = calc.energy(q64, cell64, pos64, cell_list=clist, ns_mesh=(128, 16, 16))
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=2e-5)
+
+    g_rows = jax.jit(jax.grad(f_sh, argnums=2))(charges, cell, rows)
+    g_ref = jax.grad(
+        lambda p: calc.energy(q64, cell64, p, cell_list=clist, ns_mesh=(128, 16, 16))
+    )(pos64)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(
+        np.asarray(state.unbucket(g_rows), np.float64),
+        np.asarray(g_ref),
+        atol=1e-5 * scale,
+    )
+    occupied = jnp.zeros(state.n_rows, bool).at[state.row_of_atom].set(True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(g_rows, axis=-1)[~occupied]), 0.0
+    )
+
+
+def test_sharded_md_rows_aligned_collectives_and_no_mesh_gather(
+    device_mesh, md_system_aligned
+):
+    """Aligned rows step: sub-mesh collectives only, and the force pass must
+    contain no O(n_rows) all-reduce (forces stay sharded) and no mesh-slot
+    gather at all (rows ARE the tile slots)."""
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy_rows,
+    )
+
+    charges, cell, positions = md_system_aligned
+    calc = _md_calc("pme")
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, (128, 16, 16), 8, aligned=True
+    )
+    rows = state.bucket(positions)
+    fn = jax.jit(
+        jax.grad(
+            lambda r: sharded_md_energy_rows(
+                calc, device_mesh, charges, cell, r, state
+            )
+        )
+    )
+    hlo = fn.lower(rows).compile().as_text()
+    assert "all-to-all" in hlo, "distributed DFT transpose missing"
+    assert "collective-permute" in hlo, "halo/skirt ring exchange missing"
+
+    import re
+
+    for shape in re.findall(r"all-reduce(?:-start)?\(?\)? ?= ?\(?([^)\n]*)", hlo):
+        for dims in re.findall(r"\w+\[([\d,]+)\]", shape):
+            elems = int(np.prod([int(d) for d in dims.split(",")]))
+            assert elems < state.n_rows, (
+                f"all-reduce of {elems} elements rivals the {state.n_rows}-row "
+                "layout — a global force reduction crept into the aligned path"
+            )
+
+
+def test_sharded_md_rows_aligned_stale_and_validation(
+    device_mesh, md_system_aligned
+):
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_state,
+        sharded_md_energy_rows,
+    )
+
+    charges, cell, positions = md_system_aligned
+    calc = _md_calc("pme")
+    state = compute_sharded_md_state(
+        calc, positions, cell, MD_CUTOFF, (128, 16, 16), 8, aligned=True
+    )
+    rows = state.bucket(positions)
+    fn = jax.jit(
+        lambda r: sharded_md_energy_rows(
+            calc, device_mesh, charges, cell, r, state
+        )
+    )
+    drifted = rows.at[int(state.row_of_atom[0]), 0].add(float(cell[0, 0]) / 2)
+    assert bool(jnp.isnan(fn(drifted)))
+    assert bool(jnp.all(jnp.isnan(jax.jit(jax.grad(fn))(drifted))))
+
+    # geometry that cannot align: tile edge below the cutoff
+    with pytest.raises(ValueError, match="tile"):
+        compute_sharded_md_state(
+            calc, positions, cell, 2.0, (256, 16, 16), 8, aligned=True
+        )
+    # f64 rows must be rejected (the fused kernels are f32-only)
+    with pytest.raises(ValueError, match="float32"):
+        sharded_md_energy_rows(
+            calc, device_mesh, charges.astype(jnp.float64),
+            cell.astype(jnp.float64), rows.astype(jnp.float64), state,
+        )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver contract: one sharded training step on 8 devices."""
     sys.path.insert(0, str(Path(__file__).parents[1]))

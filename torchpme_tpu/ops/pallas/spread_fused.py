@@ -105,18 +105,19 @@ def _fmod(a, n):
     return (a % n + n) % n
 
 
-def _geometry(rel, nodes, coeffs, ns, ty_count, extent, capacity, lpad=0,
+def _geometry(t, rel, nodes, coeffs, ns, ty_count, extent, capacity, lpad=0,
               deriv=None):
     """Shared fwd/bwd geometry: dense (E,K)/(E,K)/(K,nz) weight factors
     (and their rel-derivatives when ``deriv`` coefficients are given).
 
-    ``lpad`` shifts the local window left of the tile origin: 0 for
-    stencil-start bucketing (every start lands in [0, TILE)), positive for
-    position bucketing (the tile-aligned MD state, where an atom near the
-    left tile edge has its stencil start in the previous tile)."""
+    ``t`` is the tile index (``pl.program_id`` inside the kernels, a vmapped
+    iota on the pure-jnp twin).  ``lpad`` shifts the local window left of the
+    tile origin: 0 for stencil-start bucketing (every start lands in
+    [0, TILE)), positive for position bucketing (the tile-aligned MD state,
+    where an atom near the left tile edge has its stencil start in the
+    previous tile)."""
     nx, ny, nz = ns
     shift0 = 1 - (nodes + 1) // 2
-    t = pl.program_id(0)
     ox = t // ty_count * TILE
     oy = t % ty_count * TILE
 
@@ -147,27 +148,41 @@ def _charge_z(wz, q_ck, n_ch):
     return blocks[0] if n_ch == 1 else jnp.concatenate(blocks, axis=1)
 
 
-def _fwd_kernel(rel_ref, q_ref, out_ref, *, nodes, coeffs, ns, ty_count,
-                extent, capacity, n_ch, lpad):
+def _fwd_math(t, rel, q_ck, *, nodes, coeffs, ns, ty_count, extent,
+              capacity, n_ch, lpad):
+    """One tile's (E², C·nz) local field from its (3, K) rel / (C, K) charges.
+
+    Pure jnp — shared verbatim by the Pallas forward kernel and the vmap
+    twin that serves ``shard_map``-traced calls off-TPU (the HLO interpreter
+    cannot evaluate kernel jaxprs under the varying-axes type system)."""
     wx, wy, wz, _ = _geometry(
-        rel_ref[0], nodes, coeffs, ns, ty_count, extent, capacity, lpad
+        t, rel, nodes, coeffs, ns, ty_count, extent, capacity, lpad
     )
     wxy = (wx[:, None, :] * wy[None, :, :]).reshape(extent * extent, capacity)
-    wzq = _charge_z(wz, q_ref[0], n_ch)
-    out_ref[0] = jnp.dot(
+    wzq = _charge_z(wz, q_ck, n_ch)
+    return jnp.dot(
         wxy, wzq, preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
     )
 
 
-def _bwd_kernel(rel_ref, q_ref, ct_ref, drel_ref, dq_ref, *, nodes, coeffs,
-                deriv, ns, ty_count, extent, capacity, n_ch, lpad):
+def _fwd_kernel(rel_ref, q_ref, out_ref, *, nodes, coeffs, ns, ty_count,
+                extent, capacity, n_ch, lpad):
+    out_ref[0] = _fwd_math(
+        pl.program_id(0), rel_ref[0], q_ref[0], nodes=nodes, coeffs=coeffs,
+        ns=ns, ty_count=ty_count, extent=extent, capacity=capacity,
+        n_ch=n_ch, lpad=lpad,
+    )
+
+
+def _bwd_math(t, rel, q_ck, field, *, nodes, coeffs, deriv, ns, ty_count,
+              extent, capacity, n_ch, lpad):
+    """One tile's ``(ct_rel (3, K), ct_q (C, K))`` cotangents (pure jnp,
+    shared by the Pallas backward kernel and the vmap twin)."""
     nz = ns[2]
     wx, wy, wz, (dwx, dwy, dwz) = _geometry(
-        rel_ref[0], nodes, coeffs, ns, ty_count, extent, capacity, lpad, deriv
+        t, rel, nodes, coeffs, ns, ty_count, extent, capacity, lpad, deriv
     )
-    q_ck = q_ref[0]  # (C, K)
-    field = ct_ref[0]  # (E², C·nz)
 
     # charge cotangent: the gather contraction
     wxy = (wx[:, None, :] * wy[None, :, :]).reshape(extent * extent, capacity)
@@ -179,7 +194,7 @@ def _bwd_kernel(rel_ref, q_ref, ct_ref, drel_ref, dq_ref, *, nodes, coeffs,
         jnp.sum(h[:, c * nz : (c + 1) * nz] * wz, axis=1, keepdims=True).T
         for c in range(n_ch)
     ]
-    dq_ref[0] = rows[0] if n_ch == 1 else jnp.concatenate(rows, axis=0)
+    ct_q = rows[0] if n_ch == 1 else jnp.concatenate(rows, axis=0)
 
     # rel cotangents against the derivative stencils
     wzq = _charge_z(wz, q_ck, n_ch)
@@ -195,7 +210,16 @@ def _bwd_kernel(rel_ref, q_ref, ct_ref, drel_ref, dq_ref, *, nodes, coeffs,
     ct_x = jnp.sum(dwx * a_x, axis=0)  # (K,)
     ct_y = jnp.sum(dwy * b_y, axis=0)
     ct_z = jnp.sum(dwz * hq, axis=1)
-    drel_ref[0] = jnp.stack([ct_x, ct_y, ct_z], axis=0)  # (3, K)
+    return jnp.stack([ct_x, ct_y, ct_z], axis=0), ct_q  # (3, K), (C, K)
+
+
+def _bwd_kernel(rel_ref, q_ref, ct_ref, drel_ref, dq_ref, *, nodes, coeffs,
+                deriv, ns, ty_count, extent, capacity, n_ch, lpad):
+    drel_ref[0], dq_ref[0] = _bwd_math(
+        pl.program_id(0), rel_ref[0], q_ref[0], ct_ref[0], nodes=nodes,
+        coeffs=coeffs, deriv=deriv, ns=ns, ty_count=ty_count, extent=extent,
+        capacity=capacity, n_ch=n_ch, lpad=lpad,
+    )
 
 
 def _tables(method, nodes):
@@ -208,6 +232,17 @@ def _tables(method, nodes):
 
 def _interpret():
     return jax.default_backend() != "tpu"
+
+
+def _trace_vma(*arrays) -> frozenset:
+    """Mesh axes the operands vary over (nonempty only inside ``shard_map``
+    with ``check_vma=True``).  Pallas outputs must declare this set; the HLO
+    interpreter can't evaluate kernel jaxprs under the vma type system at
+    all, so a nonempty set routes off-TPU calls to the pure-jnp vmap twin."""
+    vma = frozenset()
+    for a in arrays:
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    return vma
 
 
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -259,18 +294,22 @@ def fused_spread(static, rel_t: Array, q_slots: Array) -> Array:
     """
     (ns, nodes, n_ch, n_tiles, capacity, extent, lpad, ty_count, coeffs,
      _d) = _static_geom(static, rel_t)
-    kernel = functools.partial(
-        _fwd_kernel, nodes=nodes, coeffs=np.asarray(coeffs), ns=ns,
-        ty_count=ty_count, extent=extent, capacity=capacity, n_ch=n_ch,
-        lpad=lpad,
+    opts = dict(
+        nodes=nodes, coeffs=np.asarray(coeffs), ns=ns, ty_count=ty_count,
+        extent=extent, capacity=capacity, n_ch=n_ch, lpad=lpad,
     )
+    vma = _trace_vma(rel_t, q_slots)
+    if vma and _interpret():
+        return jax.vmap(functools.partial(_fwd_math, **opts))(
+            jnp.arange(n_tiles, dtype=jnp.int32), rel_t, q_slots
+        )
     return pl.pallas_call(
-        kernel,
+        functools.partial(_fwd_kernel, **opts),
         grid=(n_tiles,),
         in_specs=[_rel_spec(capacity), _q_spec(n_ch, capacity)],
         out_specs=_tile_spec(extent, ns[2], n_ch),
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, extent * extent, ns[2] * n_ch), jnp.float32
+            (n_tiles, extent * extent, ns[2] * n_ch), jnp.float32, vma=vma
         ),
         interpret=_interpret(),
         compiler_params=_PARAMS,
@@ -285,13 +324,18 @@ def _fused_bwd(static, residuals, ct_tiles):
     rel_t, q_slots = residuals
     (ns, nodes, n_ch, n_tiles, capacity, extent, lpad, ty_count, coeffs,
      deriv) = _static_geom(static, rel_t)
-    kernel = functools.partial(
-        _bwd_kernel, nodes=nodes, coeffs=np.asarray(coeffs),
-        deriv=np.asarray(deriv), ns=ns, ty_count=ty_count, extent=extent,
-        capacity=capacity, n_ch=n_ch, lpad=lpad,
+    opts = dict(
+        nodes=nodes, coeffs=np.asarray(coeffs), deriv=np.asarray(deriv),
+        ns=ns, ty_count=ty_count, extent=extent, capacity=capacity,
+        n_ch=n_ch, lpad=lpad,
     )
+    vma = _trace_vma(rel_t, q_slots, ct_tiles)
+    if vma and _interpret():
+        return jax.vmap(functools.partial(_bwd_math, **opts))(
+            jnp.arange(n_tiles, dtype=jnp.int32), rel_t, q_slots, ct_tiles
+        )
     ct_rel, ct_q = pl.pallas_call(
-        kernel,
+        functools.partial(_bwd_kernel, **opts),
         grid=(n_tiles,),
         in_specs=[
             _rel_spec(capacity),
@@ -300,8 +344,10 @@ def _fused_bwd(static, residuals, ct_tiles):
         ],
         out_specs=[_rel_spec(capacity), _q_spec(n_ch, capacity)],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 3, capacity), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, n_ch, capacity), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 3, capacity), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct(
+                (n_tiles, n_ch, capacity), jnp.float32, vma=vma
+            ),
         ],
         interpret=_interpret(),
         compiler_params=_PARAMS,

@@ -103,6 +103,12 @@ class ShardedMDState:
     #: exchange ships, so one halo serves both engines)
     row_of_atom: Array | None = None
     tm_slot_rows: Array | None = None
+    #: tile-ALIGNED rows mode (``aligned=True``): the cell-list x/y grid is
+    #: pinned to the mesh-tile grid, so each device's bucket rows reshape
+    #: straight into its mesh-tile slots — no tile tables, no mesh-side
+    #: gather at all (the sharded analog of ``MDFastPath(mesh_impl=
+    #: "aligned")``)
+    aligned: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def n_rows(self) -> int:
@@ -140,6 +146,7 @@ def compute_sharded_md_state(
     cell_capacity: int | None = None,
     tile_capacity: int | None = None,
     rows: bool = False,
+    aligned: bool = False,
 ) -> ShardedMDState:
     """Bucket atoms into per-device cell and mesh-tile slabs (host, eager).
 
@@ -159,6 +166,14 @@ def compute_sharded_md_state(
         that slab or the first cell plane of the next (always true when the
         cell edge exceeds the stencil span ``interpolation_nodes × mesh
         spacing`` — checked, with a hard error otherwise).
+    :param aligned: pin the cell-list x/y grid to the mesh-tile grid
+        (``xy_cells = (nx/8, ny/8)``; needs every tile edge ≥ ``cutoff`` and
+        ``nx/8`` divisible by ``n_devices``) so each device's bucket rows
+        double as its mesh-tile slots: the rows step then spreads with the
+        fused Pallas kernels straight from its row block — zero mesh-side
+        gathers and no tile tables (the sharded analog of
+        ``MDFastPath(mesh_impl="aligned")``).  Implies ``rows=True``; the
+        row state must be float32 (the fused kernels are f32-only).
     """
     if ns_mesh is None:
         ns_mesh = calc.get_ns_mesh(cell)
@@ -185,16 +200,63 @@ def compute_sharded_md_state(
 
     # --- real space: x-sharded cell list (no spill: the side list would need
     # the full grid, defeating the sharding; capacity covers the fullest cell)
-    clist = compute_cell_list(
-        positions, cell, cutoff, capacity=cell_capacity, spill=False,
-        x_multiple=D,
-    )
+    if aligned:
+        rows = True
+        from ..md import MDFastPath
+
+        if not MDFastPath._aligned_supported(cell, cutoff, ns_mesh):
+            raise ValueError(
+                "aligned sharded state needs one mesh tile (8 mesh cells) "
+                "per x/y cell-list cell with edge >= cutoff; this cell/mesh/"
+                "cutoff combination does not allow it (use aligned=False)"
+            )
+        if (nx // TILE) % D:
+            raise ValueError(
+                f"aligned sharded state needs the {nx // TILE} x tile "
+                f"columns divisible over {D} devices"
+            )
+        clist = compute_cell_list(
+            positions, cell, cutoff, capacity=cell_capacity, spill=False,
+            xy_cells=(nx // TILE, ny // TILE),
+        )
+    else:
+        clist = compute_cell_list(
+            positions, cell, cutoff, capacity=cell_capacity, spill=False,
+            x_multiple=D,
+        )
     nxc, nyc, nzc = clist.n_axis
     cellcap = clist.slot_mask.shape[1]
     per_dev = (nxc // D) * nyc * nzc
     cl_atom_index = clist.atom_index.reshape(D, per_dev, cellcap)
     cl_slot_mask = clist.slot_mask.reshape(D, per_dev, cellcap)
     cl_atom_wrap = clist.atom_wrap.reshape(D, per_dev, cellcap, 3)
+
+    n_atoms = int(np.asarray(positions).shape[0])
+    if aligned:
+        # tile-aligned: cell rows ARE the mesh-tile slots — no tile tables;
+        # only the atom→row map is needed (spill=False: exactly one slot)
+        idx_np = np.asarray(clist.atom_index)
+        mask_np = np.asarray(clist.slot_mask)
+        flat_rows = np.arange(idx_np.size, dtype=np.int64).reshape(idx_np.shape)
+        row_of_atom_np = np.full(n_atoms, -1, dtype=np.int64)
+        row_of_atom_np[idx_np[mask_np]] = flat_rows[mask_np]
+        assert (row_of_atom_np >= 0).all()
+        return ShardedMDState(
+            cl_atom_index=cl_atom_index,
+            cl_slot_mask=cl_slot_mask,
+            cl_atom_wrap=cl_atom_wrap,
+            tm_atom_of_slot=jnp.zeros((D, 0, 0), jnp.int32),
+            n_axis=(nxc, nyc, nzc),
+            cutoff=float(clist.cutoff),
+            ns_mesh=ns_mesh,
+            nodes=nodes,
+            method=method,
+            n_devices=D,
+            n_atoms=n_atoms,
+            row_of_atom=jnp.asarray(row_of_atom_np, jnp.int32),
+            tm_slot_rows=None,
+            aligned=True,
+        )
 
     # --- k space: per-device mesh-tile tables on the extended local slab.
     # Atoms are assigned by the x plane of their (wrapped) stencil START, so
@@ -517,6 +579,85 @@ def _slab_spread_from_slots(
     return interior, valid
 
 
+def _slab_aligned_density(
+    pos_b, q_b, cell, ns_mesh, nodes, method, n_axis, rank, axis_name, n_dev,
+):
+    """Tile-ALIGNED slab spread: the device's bucket rows reshape straight
+    into its mesh-tile slots — zero mesh-side gathers.
+
+    ``pos_b`` is the ``(cells_local, cap, 3)`` wrap-canonicalized row block
+    (cell order ``(bx, ny_c, nz_c)``, the aligned grid), ``q_b`` the masked
+    charges.  Each (x, y) tile's slots are the ``nz_c·cap`` rows of its cell
+    z-column; the fused Pallas spread (:mod:`..ops.pallas.spread_fused`)
+    computes stencil weights in VMEM with the position-bucketed
+    ``aligned_geometry`` window, on the extended local slab (x rebased by
+    ``rank·mx − TILE``, one empty tile column each side for the skirt
+    frame), and the skirts ride the same ring ``ppermute`` fold as the
+    unaligned slab spread.  Returns the ``(C, nx/D, ny, nz)`` interior."""
+    from ..ops.pallas.spread_fused import (
+        aligned_geometry,
+        fused_spread,
+        nodes_for_extent,
+    )
+
+    dtype = pos_b.dtype
+    if dtype != jnp.float32:
+        raise ValueError(
+            f"the aligned sharded MD state runs the fused float32 Pallas "
+            f"kernels; got {dtype} rows — use float32 state, or "
+            "aligned=False"
+        )
+    nx, ny, nz = ns_mesh
+    mx = nx // n_dev
+    ext = mx + 2 * TILE
+    nxc, nyc, nzc = n_axis
+    bx = nxc // n_dev
+    cap = pos_b.shape[1]
+    n_ch = q_b.shape[-1]
+    K = nzc * cap
+    extent, lpad = aligned_geometry(nodes)
+
+    rel = jnp.matmul(
+        pos_b.reshape(-1, 3), jnp.linalg.inv(cell), precision="highest"
+    ) * jnp.asarray(ns_mesh, dtype)
+    # rebase x onto the extended slab frame (interior at [TILE, TILE+mx));
+    # integer shifts are exact in f32, keeping stencil-start decisions in
+    # lockstep with the single-chip aligned path
+    shift = jnp.asarray(TILE, dtype) - jnp.asarray(mx, dtype) * rank.astype(dtype)
+    rel = rel.at[:, 0].add(shift)
+
+    rel_t = jnp.swapaxes(rel.reshape(bx * nyc, K, 3), 1, 2)  # (T, 3, K)
+    q_t = jnp.swapaxes(q_b.reshape(bx * nyc, K, n_ch), 1, 2)  # (T, C, K)
+    rel_p = jnp.concatenate(
+        [jnp.zeros((nyc, 3, K), dtype), rel_t, jnp.zeros((nyc, 3, K), dtype)],
+        axis=0,
+    )
+    q_p = jnp.concatenate(
+        [jnp.zeros((nyc, n_ch, K), dtype), q_t, jnp.zeros((nyc, n_ch, K), dtype)],
+        axis=0,
+    )
+
+    static = ((ext, ny, nz), nodes, method, n_ch, extent, lpad)
+    tiles = fused_spread(static, rel_p, q_p)  # ((bx+2)·nyc, E², C·nz)
+    tiles = tiles.reshape(-1, extent, extent, n_ch, nz)
+    rho_ext = _fold_tiles_to_mesh(
+        jnp.moveaxis(tiles, 3, 4), (ext, ny, nz), nodes_for_extent(extent)
+    )
+    # undo the lpad window shift: locally in x (the top lpad planes are
+    # write-free, so the roll wrap carries only zeros), periodically in y
+    rho_ext = jnp.roll(rho_ext, (-lpad, -lpad), axis=(1, 2))
+
+    # fold the halo skirts into the ring neighbors' interiors
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = lax.ppermute(rho_ext[:, ext - TILE :], axis_name, right)
+    from_right = lax.ppermute(rho_ext[:, :TILE], axis_name, left)
+    interior = rho_ext[:, TILE : TILE + mx]
+    interior = interior.at[:, :TILE].add(from_left)
+    interior = interior.at[:, mx - TILE :].add(from_right)
+    return interior
+
+
 def _dft_quadratic_sharded(interior, kfilter_local, axis_name, n_dev):
     """Distributed Parseval quadratic form ``Σ_k w_kz K̂ |ρ̂|²``: slab-local
     z/y DFT matmuls, ONE ``all_to_all`` x↔y layout swap, the x DFT, and the
@@ -664,7 +805,11 @@ def sharded_md_energy_rows(
       the window's halo ``ppermute`` already shipped, so the mesh side adds
       **zero** extra collectives.
 
-    Requires ``state`` built with ``rows=True``.  Stale bucketings NaN-poison
+    Requires ``state`` built with ``rows=True``.  With ``aligned=True`` the
+    mesh side skips the tile tables entirely: the device's rows ARE its tile
+    slots, and the fused Pallas spread (:mod:`..ops.pallas.spread_fused`)
+    computes stencil weights in VMEM straight from the row block — zero
+    mesh-side gathers (float32 state only).  Stale bucketings NaN-poison
     the energy and all gradients, as everywhere else.
     """
     n_dev = device_mesh.shape[axis]
@@ -673,7 +818,7 @@ def sharded_md_energy_rows(
             f"state was built for {state.n_devices} devices, mesh axis "
             f"'{axis}' has {n_dev}"
         )
-    if state.tm_slot_rows is None:
+    if state.tm_slot_rows is None and not state.aligned:
         raise ValueError(
             "sharded_md_energy_rows needs a state built with rows=True"
         )
@@ -711,6 +856,19 @@ def sharded_md_energy_rows(
             potential, pc_t, q_g, mf_g, cell, state.n_axis, state.cutoff,
             axis, n_dev,
         )
+
+        if state.aligned:
+            # tile-aligned: the row block spreads directly (no tile tables,
+            # no halo rows — skirts ride the ring fold); mesh staleness is
+            # implied by cell-list staleness exactly as on the single chip
+            interior = _slab_aligned_density(
+                pos_b, q_b, cell, state.ns_mesh, state.nodes, state.method,
+                state.n_axis, rank, axis, n_dev,
+            )
+            e_k = _dft_quadratic_sharded(interior, kf_local, axis, n_dev)
+            flag = jnp.where(valid_r, 1.0, jnp.nan).astype(e_r.dtype)
+            flag = lax.psum(flag, axis) / n_dev
+            return lax.psum(e_r * flag, axis), lax.psum(e_k * flag, axis)
 
         # mesh side: absolute canonical positions of the extended-local rows,
         # reconstructed from the grids the window halo already shipped
@@ -772,7 +930,9 @@ def sharded_md_energy_rows(
     )(
         charges, cell, pos_rows,
         state.cl_atom_index, state.cl_slot_mask, state.cl_atom_wrap,
-        state.tm_slot_rows,
+        # aligned states carry no tile tables; the (unused) cell index block
+        # stands in so the shard_map signature stays uniform
+        state.tm_slot_rows if not state.aligned else state.cl_atom_index,
         kfilter,
     )
 
