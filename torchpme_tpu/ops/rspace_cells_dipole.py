@@ -150,11 +150,16 @@ def _dipole_window_energy(
     return e * jnp.where(valid, 1.0, jnp.nan).astype(e.dtype)
 
 
-def _dw_math(spec, potential, pc_t, mu_g, mf_g, offs) -> Array:
-    """Primal window energy (plain autodiff path for traced potentials)."""
+def _dw_math(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None) -> Array:
+    """Primal window energy (plain autodiff path for traced potentials).
+
+    ``mui_g`` optionally provides separate i-side dipoles (the sharded slab
+    path zeroes them on the halo plane so every pair is owned by exactly one
+    device); the j side always rolls from the full ``mu_g`` grid."""
     scalars = _scalar_hooks(potential)[0]
     dtype = pc_t.dtype
     cutoff_sq = jnp.asarray(spec[0], dtype) ** 2
+    mui = mu_g if mui_g is None else mui_g
 
     e = jnp.zeros((), dtype)
     k0 = 0
@@ -166,13 +171,13 @@ def _dw_math(spec, potential, pc_t, mu_g, mf_g, offs) -> Array:
         b, c = scalars(d)
         # μi·μj — like the scalar engine's charge outer product
         mumu = jnp.einsum(
-            "...ic,...jc->...ij", mu_g, muj, precision="highest"
+            "...ic,...jc->...ij", mui, muj, precision="highest"
         )
         # μ·r_ij = μ·p_j − μ·p_i, assembled from the i/j position blocks
         mur_i = jnp.einsum(
-            "...ic,...cj->...ij", mu_g, pj, precision="highest"
+            "...ic,...cj->...ij", mui, pj, precision="highest"
         ) - jnp.einsum(
-            "...ic,...ci->...i", mu_g, pc_t, precision="highest"
+            "...ic,...ci->...i", mui, pc_t, precision="highest"
         )[..., None]
         mur_j = jnp.einsum(
             "...jc,...cj->...j", muj, pj, precision="highest"
@@ -189,7 +194,7 @@ def _dw_energy(spec, potential, pc_t, mu_g, mf_g, offs):
     return _dw_math(spec, potential, pc_t, mu_g, mf_g, offs)
 
 
-def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs):
+def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None):
     """One fused pass: dipolar window energy AND its full analytic gradient.
 
     Same architecture as ``rspace_cells._we_value_and_grad`` — the energy is
@@ -209,12 +214,15 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs):
     dtype = pc_t.dtype
     cap = pc_t.shape[-1]
     cutoff_sq = jnp.asarray(spec[0], dtype) ** 2
+    split = mui_g is not None
+    mui = mu_g if mui_g is None else mui_g
 
     e = jnp.zeros((), dtype)
     d_pc = jnp.zeros_like(pc_t)
-    d_mu = jnp.zeros_like(mu_g)
+    d_mu = jnp.zeros_like(mu_g)  # j-side (rolled home)
+    d_mui = jnp.zeros_like(mui)  # i-side
     d_offs = jnp.zeros_like(offs)
-    mu_t = jnp.moveaxis(mu_g, -1, -2)  # (…, 3, cap)
+    mu_t = jnp.moveaxis(mui, -1, -2)  # (…, 3, cap)
     pc_rows = jnp.moveaxis(pc_t, -2, -1)  # (…, cap, 3)
     k0 = 0
     for chunk in spec[1]:
@@ -224,10 +232,10 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs):
         okf = pair_ok.astype(dtype)
         b, c = scalars(d)
         cp = cderiv(d, b, c)
-        mumu = jnp.einsum("...ic,...jc->...ij", mu_g, muj, precision=Pr)
+        mumu = jnp.einsum("...ic,...jc->...ij", mui, muj, precision=Pr)
         ri = jnp.einsum(
-            "...ic,...cj->...ij", mu_g, pj, precision=Pr
-        ) - jnp.einsum("...ic,...ci->...i", mu_g, pc_t, precision=Pr)[..., None]
+            "...ic,...cj->...ij", mui, pj, precision=Pr
+        ) - jnp.einsum("...ic,...ci->...i", mui, pc_t, precision=Pr)[..., None]
         rj = jnp.einsum(
             "...jc,...cj->...j", muj, pj, precision=Pr
         )[..., None, :] - jnp.einsum(
@@ -260,19 +268,19 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs):
         d_pj = (
             pj * colsum[..., None, :]
             - cross_j
-            - jnp.einsum("...ij,...ic->...cj", ct_rj, mu_g, precision=Pr)
+            - jnp.einsum("...ij,...ic->...cj", ct_rj, mui, precision=Pr)
             - jnp.moveaxis(muj, -1, -2) * col_ri[..., None, :]
         )
 
         # dipole cotangents (mu layouts: (…, cap/W, 3))
-        d_mu = (
-            d_mu
+        d_mui = (
+            d_mui
             + jnp.einsum("...ij,...jc->...ic", bt, muj, precision=Pr)
             - jnp.einsum("...ij,...cj->...ic", ct_rj, pj, precision=Pr)
             + pc_rows * row_rj[..., None]
         )
         d_muj = (
-            jnp.einsum("...ij,...ic->...jc", bt, mu_g, precision=Pr)
+            jnp.einsum("...ij,...ic->...jc", bt, mui, precision=Pr)
             - jnp.moveaxis(pj, -2, -1) * col_ri[..., None]
             + jnp.einsum("...ij,...ci->...jc", ct_ri, pc_t, precision=Pr)
         )
@@ -289,7 +297,9 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs):
     d_pot = jax.tree_util.tree_map(
         lambda x: jnp.zeros_like(jnp.asarray(x)), potential
     )
-    return e, (d_pot, d_pc, d_mu, jnp.zeros_like(mf_g), d_offs)
+    if split:
+        return e, (d_pot, d_pc, d_mu, jnp.zeros_like(mf_g), d_offs, d_mui)
+    return e, (d_pot, d_pc, d_mu + d_mui, jnp.zeros_like(mf_g), d_offs)
 
 
 def _dw_fwd(spec, potential, pc_t, mu_g, mf_g, offs):
@@ -299,3 +309,20 @@ def _dw_fwd(spec, potential, pc_t, mu_g, mf_g, offs):
 # the scalar engine's backward is structure-agnostic: it scales every
 # cotangent by ē (skipping the structural-zeros potential tree, spec[2])
 _dw_energy.defvjp(_dw_fwd, _we_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dw_energy_split(spec, potential, pc_t, mu_g, mf_g, offs, mui_g):
+    """Dipolar window energy with separate i-side dipoles (the sharded slab
+    fast path zeroes them on the halo plane): same fused value-and-gradient
+    custom VJP as :func:`_dw_energy`, with the i- and j-side dipole
+    cotangents kept apart so the caller's halo plumbing (differentiable
+    ``ppermute``/``concatenate``) routes them."""
+    return _dw_math(spec, potential, pc_t, mu_g, mf_g, offs, mui_g)
+
+
+def _dw_split_fwd(spec, potential, pc_t, mu_g, mf_g, offs, mui_g):
+    return _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs, mui_g)
+
+
+_dw_energy_split.defvjp(_dw_split_fwd, _we_bwd)

@@ -18,14 +18,22 @@ from .sharded_md import (
     sharded_md_energy,
     sharded_md_energy_rows,
 )
+from .sharded_md_dipole import (
+    ShardedMDDipoleState,
+    compute_sharded_md_dipole_state,
+    sharded_md_dipole_energy_rows,
+)
 
 __all__ = [
+    "ShardedMDDipoleState",
     "ShardedMDState",
     "SlabBucketing",
+    "compute_sharded_md_dipole_state",
     "compute_sharded_md_state",
     "compute_slab_bucketing",
     "pad_to_multiple",
     "sharded_ewald_potentials",
+    "sharded_md_dipole_energy_rows",
     "sharded_md_energy",
     "sharded_md_energy_rows",
     "sharded_mesh_potentials",

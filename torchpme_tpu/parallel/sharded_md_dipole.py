@@ -1,0 +1,313 @@
+"""Slab-sharded dipolar MD fast path: cell-list window + Ewald quadratic
+form, SPMD over an x-slab device mesh.
+
+The dipolar counterpart of :mod:`.sharded_md` — same decomposition, adapted
+to the two dipolar engines:
+
+* **real space** — the dipolar cell-list window
+  (:mod:`torchpme_tpu.ops.rspace_cells_dipole`: ``B·(μi·μj) − C·(μi·r)(μj·r)``
+  contractions, never a per-pair 3×3 tensor) runs on each device's cell slab
+  extended by ONE ``ppermute``-fetched halo plane, with the *i-side dipoles*
+  zeroed on the halo plane so every unordered pair is owned by exactly one
+  device (``_dw_energy_split``, the dipolar analog of the scalar split
+  window).
+* **k space** — the Ewald sum as a quadratic form: each device computes the
+  partial structure factors :math:`S(k) = \\sum_i (\\vec\\mu_i\\cdot\\vec k)
+  e^{i k\\cdot r_i}` over its own rows, ONE ``psum`` of the ``(2, n_k)``
+  spectrum, and the replicated energy :math:`\\sum_k \\hat v(k) |S(k)|^2 / V`
+  — the collective carries O(n_k), never O(atoms).  Canonical (cell-frame)
+  positions are exact here because every Ewald k-vector is a reciprocal
+  lattice vector (``e^{i k\\cdot(r+L)} = e^{i k\\cdot r}``).
+
+No reference counterpart: the reference dipolar calculator is single-device
+and pair-list only (``/root/reference/src/torchpme/calculators/
+calculator_dipole.py``); this is the build's multi-chip axis applied to the
+dipolar family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..ops.kvectors import generate_kvectors_for_ewald
+from ..ops.rspace_cells import _half_window_chunks, compute_cell_list
+from ..ops.rspace_cells_dipole import (
+    _can_use_analytic_dipole,
+    _dw_energy_split,
+    _dw_math,
+)
+from .sharded_md import _slab_grids
+
+__all__ = [
+    "ShardedMDDipoleState",
+    "compute_sharded_md_dipole_state",
+    "sharded_md_dipole_energy_rows",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedMDDipoleState:
+    """Host-computed x-slab cell bucketing for the sharded dipolar step.
+
+    Refresh like a neighbor list: atoms drifting out of their cell
+    NaN-poison the energy and every gradient.
+    """
+
+    # cell-list x-slabs: (D, bx·ny·nz cells, cap)
+    cl_atom_index: Array
+    cl_slot_mask: Array
+    cl_atom_wrap: Array  # (D, cells, cap, 3) int8
+    #: bucket-row id of every atom (rows layout, as in ShardedMDState)
+    row_of_atom: Array
+    n_axis: tuple[int, int, int] = field(metadata=dict(static=True))
+    cutoff: float = field(metadata=dict(static=True))
+    ns_kvectors: tuple[int, int, int] | None = field(
+        metadata=dict(static=True)
+    )
+    n_devices: int = field(metadata=dict(static=True))
+    n_atoms: int = field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        """Total slab rows (= cells · capacity)."""
+        d, cells, cap = self.cl_slot_mask.shape
+        return d * cells * cap
+
+    def bucket(self, positions: Array) -> Array:
+        """Atom-order ``(N, 3)`` → slab rows ``(n_rows, 3)``."""
+        rows = jnp.zeros((self.n_rows, 3), jnp.asarray(positions).dtype)
+        return rows.at[self.row_of_atom].set(positions)
+
+    def unbucket(self, rows: Array) -> Array:
+        """Slab rows back to atom order (one gather)."""
+        return rows[self.row_of_atom]
+
+
+def compute_sharded_md_dipole_state(
+    calc,
+    positions,
+    cell,
+    cutoff: float,
+    n_devices: int = 8,
+    cell_capacity: int | None = None,
+) -> ShardedMDDipoleState:
+    """Bucket atoms into per-device cell slabs for the dipolar step (host,
+    eager).
+
+    :param calc: a :class:`~torchpme_tpu.calculators.CalculatorDipole`;
+        supplies the static k-space extents (direct mode: none).
+    :param cutoff: real-space cutoff (as for ``compute_cell_list``; the
+        slab window is spill-free, pass ``cell_capacity`` for inhomogeneous
+        systems).
+    """
+    D = int(n_devices)
+    clist = compute_cell_list(
+        positions, cell, cutoff, capacity=cell_capacity, spill=False,
+        x_multiple=D,
+    )
+    nxc, nyc, nzc = clist.n_axis
+    cap = clist.slot_mask.shape[1]
+    per_dev = (nxc // D) * nyc * nzc
+    n_atoms = int(np.asarray(positions).shape[0])
+
+    idx_np = np.asarray(clist.atom_index)
+    mask_np = np.asarray(clist.slot_mask)
+    flat_rows = np.arange(idx_np.size, dtype=np.int64).reshape(idx_np.shape)
+    row_of_atom = np.full(n_atoms, -1, dtype=np.int64)
+    row_of_atom[idx_np[mask_np]] = flat_rows[mask_np]
+    assert (row_of_atom >= 0).all()
+
+    ns_k = (
+        calc.get_ns_kvectors(cell)
+        if calc.potential.smearing is not None
+        else None
+    )
+    return ShardedMDDipoleState(
+        cl_atom_index=clist.atom_index.reshape(D, per_dev, cap),
+        cl_slot_mask=clist.slot_mask.reshape(D, per_dev, cap),
+        cl_atom_wrap=clist.atom_wrap.reshape(D, per_dev, cap, 3),
+        row_of_atom=jnp.asarray(row_of_atom, jnp.int32),
+        n_axis=(nxc, nyc, nzc),
+        cutoff=float(clist.cutoff),
+        ns_kvectors=ns_k,
+        n_devices=D,
+        n_atoms=n_atoms,
+    )
+
+
+def _slab_dipole_window_from_grids(
+    potential, pc_t, mu_gr, mf_g, cell, n_axis, cutoff, axis_name, n_dev,
+):
+    """Halo exchange + fused dipolar window energy on prepared slab grids.
+
+    Identical plumbing to the scalar ``_slab_window_from_grids``: the right
+    neighbor's first x plane rides one ``ppermute`` and the *i-side dipoles*
+    are zeroed on the halo plane, so each unordered pair is owned by the
+    device of its lower-x cell."""
+    dtype = pc_t.dtype
+    bx, cap = pc_t.shape[0], pc_t.shape[-1]
+    n_axis_f = jnp.asarray(n_axis, dtype=dtype)
+
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    pc_ext = jnp.concatenate(
+        [pc_t, lax.ppermute(pc_t[:1], axis_name, left)], axis=0
+    )
+    mu_ext = jnp.concatenate(
+        [mu_gr, lax.ppermute(mu_gr[:1], axis_name, left)], axis=0
+    )
+    mf_ext = jnp.concatenate(
+        [mf_g, lax.ppermute(mf_g[:1], axis_name, left)], axis=0
+    )
+    i_scale = (jnp.arange(bx + 1) < bx).astype(dtype)
+    mui_ext = mu_ext * i_scale[:, None, None, None, None]
+
+    chunks = _half_window_chunks(cap)
+    flat = [o for chunk in chunks for o in chunk]
+    offs = jnp.matmul(
+        jnp.asarray(flat, dtype) / n_axis_f, cell, precision="highest"
+    )
+    # same pcast discipline as the scalar slab window: gate the analytic
+    # hook BEFORE marking anything varying, because pcast wraps leaves in
+    # tracers that the gate would read as "trainable"
+    use_analytic = _can_use_analytic_dipole(potential)
+    offs = lax.pcast(offs, (axis_name,), to="varying")
+    spec = (float(cutoff), chunks, use_analytic)
+    if use_analytic:
+        return _dw_energy_split(
+            spec, potential, pc_ext, mu_ext, mf_ext, offs, mui_ext
+        )
+    potential = jax.tree_util.tree_map(
+        lambda x: lax.pcast(jnp.asarray(x), (axis_name,), to="varying"),
+        potential,
+    )
+    return _dw_math(spec, potential, pc_ext, mu_ext, mf_ext, offs, mui_ext)
+
+
+def sharded_md_dipole_energy_rows(
+    calc,
+    device_mesh: Mesh,
+    dipoles: Array,
+    cell: Array,
+    pos_rows: Array,
+    state: ShardedMDDipoleState,
+    axis: str = "atoms",
+) -> Array:
+    r"""Total dipolar energy :math:`E = \sum_i \vec V_i\cdot\vec\mu_i`,
+    SPMD from device-sharded bucket rows.
+
+    Matches ``calc.energy(dipoles, cell, positions, cell_list=...,
+    ns_kvectors=state.ns_kvectors)`` — including all gradients: ``jax.grad``
+    w.r.t. ``pos_rows`` returns minus the forces in the sharded row layout
+    (no global force reduction), w.r.t. ``dipoles`` the fields, w.r.t.
+    ``cell`` the stress seed.  ``dipoles`` stay atom-order replicated (they
+    are position-independent, like the scalar step's charges).  Stale
+    bucketings NaN-poison the energy and all gradients.
+    """
+    n_dev = device_mesh.shape[axis]
+    if n_dev != state.n_devices:
+        raise ValueError(
+            f"state was built for {state.n_devices} devices, mesh axis "
+            f"'{axis}' has {n_dev}"
+        )
+    if dipoles.shape[0] != state.n_atoms:
+        raise ValueError(
+            f"state was built for {state.n_atoms} atoms, got {dipoles.shape[0]}"
+        )
+    if pos_rows.shape[0] != state.n_rows:
+        raise ValueError(
+            f"state has {state.n_rows} slab rows, got {pos_rows.shape[0]}"
+        )
+    potential = calc.potential
+    lr = potential.smearing is not None
+    kvectors = (
+        generate_kvectors_for_ewald(
+            cell, tuple(int(n) for n in state.ns_kvectors)
+        )
+        if lr
+        else jnp.zeros((0, 3), pos_rows.dtype)
+    )
+
+    def local(dipoles, cell, rows, kv, cl_idx, cl_mask, cl_wrap):
+        rank = lax.axis_index(axis)
+        cl_idx, cl_mask, cl_wrap = cl_idx[0], cl_mask[0], cl_wrap[0]
+        dtype = rows.dtype
+        cells_local, cap = cl_mask.shape
+
+        mask_b = cl_mask
+        pos_b = rows.reshape(cells_local, cap, 3) - jnp.matmul(
+            cl_wrap.astype(dtype), cell, precision="highest"
+        )
+        mu_b = dipoles.astype(dtype)[cl_idx] * mask_b[..., None].astype(dtype)
+        pc_t, mu_gr, mf_g, centers, valid = _slab_grids(
+            pos_b, mu_b, mask_b, cell, state.n_axis, rank, n_dev
+        )
+        e_r = _slab_dipole_window_from_grids(
+            potential, pc_t, mu_gr, mf_g, cell, state.n_axis, state.cutoff,
+            axis, n_dev,
+        )
+
+        if lr:
+            # Ewald quadratic form from the local rows: partial structure
+            # factors, ONE psum of the (2, n_k) spectrum.  Canonical (cell-
+            # frame) positions are exact (k·L = 2πn for Ewald k-vectors).
+            pos_flat = (pos_b).reshape(-1, 3)
+            mu_flat = mu_b.reshape(-1, 3)
+            trig_args = jnp.matmul(
+                kv, pos_flat.T, precision="highest"
+            )  # (n_k, R)
+            mu_k = jnp.matmul(mu_flat, kv.T, precision="highest")  # (R, n_k)
+            s_part = jnp.stack(
+                [
+                    jnp.einsum(
+                        "kr,rk->k", jnp.cos(trig_args), mu_k,
+                        precision="highest",
+                    ),
+                    jnp.einsum(
+                        "kr,rk->k", jnp.sin(trig_args), mu_k,
+                        precision="highest",
+                    ),
+                ]
+            )
+            s_full = lax.psum(s_part, axis)  # (2, n_k)
+            g_kernel = potential.lr_from_k_sq(jnp.sum(kv**2, axis=-1))
+            e_quad = jnp.sum(g_kernel * jnp.sum(s_full**2, axis=0))
+        else:
+            e_quad = jnp.zeros((), dtype)
+
+        # one device's staleness poisons every device's (sharded) force rows
+        flag = jnp.where(valid, 1.0, jnp.nan).astype(e_r.dtype)
+        flag = lax.psum(flag, axis) / n_dev
+        return lax.psum(e_r * flag, axis), e_quad * flag
+
+    e_r, e_quad = shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(
+            P(), P(), P(axis), P(),
+            P(axis), P(axis), P(axis),
+        ),
+        out_specs=(P(), P()),
+    )(
+        dipoles, cell, pos_rows, kvectors,
+        state.cl_atom_index, state.cl_slot_mask, state.cl_atom_wrap,
+    )
+    if not lr:
+        return e_r
+
+    # corrections, identical to CalculatorDipole._compute_kspace contracted
+    # with the dipoles
+    volume = jnp.abs(jnp.linalg.det(cell))
+    e_k = e_quad / volume
+    e_k = e_k - potential.self_contribution() * jnp.sum(dipoles**2)
+    mu_tot = jnp.sum(dipoles, axis=0)
+    e_k = e_k + potential.background_correction(volume) * jnp.sum(mu_tot**2)
+    return e_r + e_k / 2
