@@ -448,6 +448,7 @@ class MDFastPathDipole:
     )
     n_rows: int = field(metadata=dict(static=True))
     n_atoms: int = field(metadata=dict(static=True))
+    window_impl: str = field(metadata=dict(static=True), default="xla")
 
     @classmethod
     def create(
@@ -457,12 +458,43 @@ class MDFastPathDipole:
         cell,
         cutoff: float,
         cell_capacity: int | None = None,
+        window_impl: str = "auto",
     ) -> "MDFastPathDipole":
         """Bucket ``positions`` for the dipolar ``calc`` (host-side, eager).
 
         The cell list is built spill-free (the dipolar window engine does
         not take a side list); pass ``cell_capacity`` for inhomogeneous
-        systems."""
+        systems.
+
+        :param window_impl: real-space window engine — ``"xla"`` (the
+            roll/einsum dipolar window), ``"pallas"`` (the fused VMEM
+            kernel, :mod:`torchpme_tpu.ops.pallas.window_dipole_pallas`;
+            needs a kernel-ready ``window_scalar_math``), or ``"auto"``
+            (the measured-winner policy, shared with :class:`MDFastPath`).
+        """
+        if window_impl == "auto":
+            import jax as _jax
+
+            from .ops.pallas.window_dipole_pallas import (
+                can_use_pallas_dipole_window,
+            )
+            from .ops.rspace_cells_dipole import _can_use_analytic_dipole
+
+            window_impl = (
+                "pallas"
+                if (
+                    _WINDOW_AUTO_TPU == "pallas"
+                    and _jax.default_backend() == "tpu"
+                    and _can_use_analytic_dipole(calc.potential)
+                    and can_use_pallas_dipole_window(calc.potential, cutoff)
+                )
+                else "xla"
+            )
+        if window_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"`window_impl` is {window_impl!r} but must be 'auto', "
+                "'xla' or 'pallas'"
+            )
         clist = compute_cell_list(
             positions, cell, cutoff, capacity=cell_capacity, spill=False
         )
@@ -480,6 +512,7 @@ class MDFastPathDipole:
             ns_kvectors=ns_k,
             n_rows=n_rows,
             n_atoms=n_atoms,
+            window_impl=window_impl,
         )
 
     def bucket(self, positions: Array) -> Array:
@@ -500,6 +533,7 @@ class MDFastPathDipole:
             cell,
             cutoff if cutoff is not None else self.clist.cutoff,
             cell_capacity=self.clist.slot_mask.shape[1],
+            window_impl=self.window_impl,
         )
 
     def energy(self, dipoles: Array, cell: Array, pos_rows: Array) -> Array:
@@ -511,7 +545,8 @@ class MDFastPathDipole:
         )
 
         e_sr = cell_list_rspace_dipole_energy_rows(
-            self.calc.potential, dipoles, pos_rows, cell, self.clist
+            self.calc.potential, dipoles, pos_rows, cell, self.clist,
+            window_impl=self.window_impl,
         )
         if self.calc.potential.smearing is None:
             return e_sr

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["clenshaw", "fit_f32_cheb", "ipl_window_pair_math"]
+__all__ = [
+    "clenshaw",
+    "dipole_window_scalar_math",
+    "fit_f32_cheb",
+    "ipl_window_pair_math",
+]
 
 
 def fit_f32_cheb(fn, lo, hi, tol=4e-7, max_degree=24):
@@ -70,6 +75,76 @@ def clenshaw(coeffs, u):
     for k in range(len(coeffs) - 1, 0, -1):
         b1, b2 = 2 * u * b1 - b2 + coeffs[k], b1
     return u * b1 - b2 + coeffs[0]
+
+
+def dipole_window_scalar_math(prefactor, smearing, cutoff):
+    r"""Kernel ``(B, C, C')`` scalars for the short-range dipolar kernel.
+
+    The SR dipolar scalars (:meth:`PotentialDipole.sr_scalar_kernels` /
+    ``sr_scalar_kernel_derivative``) diverge at :math:`r \to 0` like the
+    full kernel, but their *numerators* are entire — with
+    :math:`\alpha = 1/(2\sigma^2)`, :math:`g = 2\sqrt{\alpha/\pi}\,
+    e^{-\alpha r^2}`:
+
+    .. math::
+        B &= P\,f_B/r^3,  &f_B &= \mathrm{erfc}(\sqrt\alpha\,r) + g\,r,\\
+        C &= P\,f_C/r^5,  &f_C &= 3\,\mathrm{erfc}(\sqrt\alpha\,r)
+                                   + g\,(2\alpha r^3 + 3r),\\
+        C' &= -P\,f_{C'}/r^6, &f_{C'} &= 15 f_B + g\,(4\alpha^2 r^5
+                                   + 10\alpha r^3),
+
+    so the same Chebyshev/Clenshaw treatment as the scalar family applies:
+    fit the three entire numerators on the full ``[0, cutoff]`` domain (no
+    domain guard needed — the masked placeholder ``d = 1`` lives inside)
+    and divide by the power of ``d`` in the kernel.  The fit tolerance is
+    scaled by each numerator's magnitude (f32 Clenshaw arithmetic cannot
+    beat relative roundoff).  Returns a ``d -> (B, C, C')`` callable for
+    the fused dipolar Pallas window, or ``None`` when a fit cannot reach
+    tolerance.
+    """
+    from scipy import special as _sps
+
+    prefactor = float(prefactor)
+    smearing = float(smearing)
+    cutoff = float(cutoff)
+    alpha = 1.0 / (2.0 * smearing**2)
+    sa = alpha**0.5
+    c_g = 2.0 * (alpha / np.pi) ** 0.5
+
+    def f_b(r):
+        return _sps.erfc(sa * r) + c_g * r * np.exp(-alpha * r**2)
+
+    def f_c(r):
+        return 3.0 * _sps.erfc(sa * r) + c_g * np.exp(-alpha * r**2) * (
+            2.0 * alpha * r**3 + 3.0 * r
+        )
+
+    def f_cp(r):
+        return 15.0 * f_b(r) + c_g * np.exp(-alpha * r**2) * (
+            4.0 * alpha**2 * r**5 + 10.0 * alpha * r**3
+        )
+
+    grid = np.linspace(0.0, cutoff, 2001)
+    coeffs = []
+    for fn in (f_b, f_c, f_cp):
+        tol = 4e-7 * max(1.0, float(np.max(np.abs(fn(grid)))))
+        c = fit_f32_cheb(fn, 0.0, cutoff, tol=tol)
+        if c is None:
+            return None
+        coeffs.append(c)
+    c_b, c_c, c_cp = coeffs
+    u_scale = 2.0 / cutoff  # u = 2 d / cutoff - 1
+
+    def scalar_math(d):
+        u = u_scale * d - 1.0
+        inv_d = 1.0 / d
+        inv_d3 = inv_d * inv_d * inv_d
+        b = prefactor * clenshaw(c_b, u) * inv_d3
+        c = prefactor * clenshaw(c_c, u) * (inv_d3 * inv_d * inv_d)
+        cp = -prefactor * clenshaw(c_cp, u) * (inv_d3 * inv_d3)
+        return b, c, cp
+
+    return scalar_math
 
 
 def ipl_window_pair_math(prefactor, smearing, exponent, cutoff):

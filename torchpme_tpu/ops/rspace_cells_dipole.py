@@ -52,7 +52,12 @@ __all__ = [
 
 
 def cell_list_rspace_dipole_energy(
-    potential, dipoles: Array, positions: Array, cell: Array, clist: CellList
+    potential,
+    dipoles: Array,
+    positions: Array,
+    cell: Array,
+    clist: CellList,
+    window_impl: str = "xla",
 ) -> Array:
     r"""Total real-space dipolar energy from a cell list (scalar).
 
@@ -67,18 +72,26 @@ def cell_list_rspace_dipole_energy(
     :param clist: from :func:`~torchpme_tpu.ops.compute_cell_list`.  The
         overflow side list is not supported here — build with an explicit
         ``capacity`` (``spill=False``) for inhomogeneous systems.
+    :param window_impl: ``"xla"`` (the roll/einsum engine) or ``"pallas"``
+        (the fused VMEM kernel,
+        :mod:`torchpme_tpu.ops.pallas.window_dipole_pallas`).
     """
     _reject_spill(clist)
     pc_t, mu_g, mf_g, offs, valid, chunks = _prepare(
         dipoles, positions, cell, clist
     )
     return _dipole_window_energy(
-        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist
+        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist, window_impl
     )
 
 
 def cell_list_rspace_dipole_energy_rows(
-    potential, dipoles: Array, pos_rows: Array, cell: Array, clist: CellList
+    potential,
+    dipoles: Array,
+    pos_rows: Array,
+    cell: Array,
+    clist: CellList,
+    window_impl: str = "xla",
 ) -> Array:
     r"""Dipolar window energy from positions in bucket-ROW order — the
     dipolar counterpart of
@@ -99,7 +112,7 @@ def cell_list_rspace_dipole_energy_rows(
         clist,
     )
     return _dipole_window_energy(
-        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist
+        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist, window_impl
     )
 
 
@@ -139,10 +152,38 @@ def _can_use_analytic_dipole(potential) -> bool:
     )
 
 
+def _dipole_window_spec(cutoff, chunks, potential, window_impl="xla"):
+    """Static dipolar window spec ``(cutoff, chunks, use_analytic[, pallas])``.
+
+    Mirrors :func:`rspace_cells._window_spec`: ``"pallas"`` additionally
+    requires the potential's ``window_scalar_math`` hook to produce a
+    kernel-ready ``(B, C, C')`` math for this cutoff *and* the analytic gate
+    (concrete parameters) — a hard error otherwise, so callers that
+    auto-pick never silently change engines."""
+    use_analytic = _can_use_analytic_dipole(potential)
+    if window_impl == "xla":
+        return (float(cutoff), chunks, use_analytic)
+    if window_impl != "pallas":
+        raise ValueError(
+            f"`window_impl` is {window_impl!r} but must be 'xla' or 'pallas'"
+        )
+    from .pallas.window_dipole_pallas import can_use_pallas_dipole_window
+
+    if not use_analytic or not can_use_pallas_dipole_window(potential, cutoff):
+        raise ValueError(
+            "window_impl='pallas' requires a dipolar potential with a "
+            "kernel-ready `window_scalar_math(cutoff)` (concrete parameters, "
+            "no exclusion window, fit within tolerance); "
+            f"{type(potential).__name__} does not provide one here. "
+            "Use window_impl='xla'."
+        )
+    return (float(cutoff), chunks, True, True)
+
+
 def _dipole_window_energy(
-    potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist
+    potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist, window_impl="xla"
 ) -> Array:
-    spec = (float(clist.cutoff), chunks, _can_use_analytic_dipole(potential))
+    spec = _dipole_window_spec(clist.cutoff, chunks, potential, window_impl)
     if spec[2]:
         e = _dw_energy(spec, potential, pc_t, mu_g, mf_g, offs)
     else:
@@ -303,6 +344,14 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None):
 
 
 def _dw_fwd(spec, potential, pc_t, mu_g, mf_g, offs):
+    if len(spec) > 3 and spec[3]:
+        from .pallas.window_dipole_pallas import (
+            pallas_dipole_window_value_and_grad,
+        )
+
+        return pallas_dipole_window_value_and_grad(
+            spec, potential, pc_t, mu_g, mf_g, offs
+        )
     return _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs)
 
 
@@ -322,6 +371,14 @@ def _dw_energy_split(spec, potential, pc_t, mu_g, mf_g, offs, mui_g):
 
 
 def _dw_split_fwd(spec, potential, pc_t, mu_g, mf_g, offs, mui_g):
+    if len(spec) > 3 and spec[3]:
+        from .pallas.window_dipole_pallas import (
+            pallas_dipole_window_value_and_grad,
+        )
+
+        return pallas_dipole_window_value_and_grad(
+            spec, potential, pc_t, mu_g, mf_g, offs, mui_g
+        )
     return _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs, mui_g)
 
 

@@ -132,6 +132,43 @@ class PotentialDipole:
         del c
         return -15.0 * b / dist**3
 
+    def window_scalar_math(self, cutoff: float):
+        r"""Kernel-ready ``d -> (B, C, C')`` for the fused dipolar Pallas
+        window (:mod:`torchpme_tpu.ops.pallas.window_dipole_pallas`).
+
+        Direct mode evaluates the exact rational scalars (they are already
+        transcendental-free); range-separated mode returns the
+        Chebyshev/Clenshaw fits of the entire SR numerators
+        (:func:`torchpme_tpu.ops.polyfit.dipole_window_scalar_math`).
+        ``None`` for traced parameters, an exclusion window (its extra
+        ``f(r)`` terms are not covered), or an unreachable fit tolerance.
+        """
+        import jax as _jax
+
+        from ..ops.polyfit import dipole_window_scalar_math
+
+        if self.exclusion_radius is not None:
+            return None
+        if any(
+            isinstance(leaf, _jax.core.Tracer)
+            for leaf in _jax.tree_util.tree_leaves(self)
+        ):
+            return None
+        if self.smearing is None:
+            prefactor = float(self.prefactor)
+
+            def scalar_math(d):
+                inv_d2 = 1.0 / (d * d)
+                b = prefactor * inv_d2 / d
+                c = 3.0 * b * inv_d2
+                cp = -15.0 * b * inv_d2 / d
+                return b, c, cp
+
+            return scalar_math
+        return dipole_window_scalar_math(
+            self.prefactor, self.smearing, float(cutoff)
+        )
+
     def sr_scalar_kernel_derivative(self, dist: Array, b: Array, c: Array) -> Array:
         r"""Short-range :math:`dC/dr` for the fused dipolar force pass.
 
