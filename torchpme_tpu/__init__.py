@@ -16,6 +16,7 @@ from .calculators import (
     EwaldCalculator,
     P3MCalculator,
     PMECalculator,
+    PMECalculatorDipole,
 )
 from .md import MDFastPath, MDFastPathDipole
 from .potentials import (
@@ -39,6 +40,7 @@ __all__ = [
     "CombinedPotential",
     "PotentialDipole",
     "CalculatorDipole",
+    "PMECalculatorDipole",
     "MDFastPath",
     "MDFastPathDipole",
 ]

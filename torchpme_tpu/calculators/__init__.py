@@ -3,6 +3,7 @@ from .dipole import CalculatorDipole
 from .ewald import EwaldCalculator
 from .p3m import P3MCalculator
 from .pme import PMECalculator
+from .pme_dipole import PMECalculatorDipole
 
 __all__ = [
     "Calculator",
@@ -10,4 +11,5 @@ __all__ = [
     "EwaldCalculator",
     "P3MCalculator",
     "PMECalculator",
+    "PMECalculatorDipole",
 ]

@@ -1,0 +1,198 @@
+r"""Dipolar particle-mesh Ewald: O(N log N) k-space for point dipoles.
+
+**No reference counterpart** — the reference's dipolar calculator is
+Ewald-only (``/root/reference/src/torchpme/calculators/calculator_dipole.py``),
+whose :math:`O(N\cdot n_k)` structure-factor sum caps dipolar MD at
+~10k atoms.  This calculator replaces it with a mesh pipeline:
+
+* **spread** — the dipolar mesh density is the *gradient* spread
+  :math:`Q(m) = \sum_j \vec\mu_j\cdot\nabla_{r_j} W_j(m)`
+  (:func:`torchpme_tpu.ops.mesh.dipoles_to_mesh`): the analytically
+  differentiated 1D stencil tables, no per-pair tensors;
+* **filter** — by the continuum shift identity :math:`\widehat Q(k) =
+  -i\,\hat w(k)\,S(k)` with :math:`S(k) = \sum_j (\vec\mu_j\cdot\vec k)
+  e^{-ik\cdot r_j}`, so the SAME scalar k-space machinery applies:
+  :math:`E^{LR} = \langle Q, K\circledast Q\rangle/(2V)` with the Gaussian
+  Coulomb kernel — DFT-by-matmul on TPU, rFFT elsewhere;
+* **gather** — the per-atom vector field interpolates back with the same
+  gradient stencil (:func:`torchpme_tpu.ops.mesh.mesh_to_dipole_field`),
+  making spread/gather exact transposes: autodiff gives forces, fields and
+  stress seeds with no custom code.
+
+Drop-in for :class:`CalculatorDipole` (same ``__call__``/``energy``/
+real-space path — only ``_compute_kspace`` changes), so the dipolar MD fast
+path (:class:`torchpme_tpu.md.MDFastPathDipole`) and the sharded tier
+compose with it unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.kspace import (
+    apply_kspace_filter,
+    apply_kspace_filter_dft,
+    compute_kspace_filter,
+)
+from ..ops.kvectors import get_ns_mesh
+from ..ops.mesh import (
+    _weight_coefficients,
+    compute_dipole_interpolation,
+    dipoles_to_mesh,
+    mesh_to_dipole_field,
+)
+from ..potentials import PotentialDipole
+from ..potentials.potential import static_field
+from .dipole import CalculatorDipole
+
+__all__ = ["PMECalculatorDipole"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PMECalculatorDipole(CalculatorDipole):
+    r"""Mesh Ewald for point dipoles (gradient spread + scalar k-filter).
+
+    :param potential: a :class:`PotentialDipole`; ``smearing`` must be set.
+    :param mesh_spacing: target distance between mesh planes (the mesh is
+        rounded up to powers of two per axis, as for the scalar PME).
+    :param interpolation_nodes: Lagrange stencil size per axis (3–7).  The
+        *derivative* interpolation loses one order of accuracy, so the
+        default is 6 (measured: rel. energy error ~1e-4 at a 0.5·σ mesh).
+    :param _method: stencil tables; only the interpolatory ``"Lagrange"``
+        family is supported — P3M (B-spline) spreading smooths the density
+        by :math:`\hat w(k)^2` and would need the Deserno–Holm influence
+        correction the scalar :class:`P3MCalculator` carries (measured:
+        1–7% energy bias without it, *growing* with the order).
+    :param fft_backend: ``"auto"`` (DFT-by-matmul on accelerators for meshes
+        ≤ 256³), ``"fft"`` or ``"dft"``.
+
+    Example
+    -------
+    Matches the O(N·n_k) Ewald dipolar calculator to mesh accuracy:
+
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> import torchpme_tpu as tpme
+    >>> from torchpme_tpu.utils.neighbors import neighbor_list
+    >>> rng = np.random.default_rng(0)
+    >>> pos = jnp.asarray(rng.uniform(0, 6.0, (40, 3)))
+    >>> mu = jnp.asarray(rng.normal(size=(40, 3)))
+    >>> cell = jnp.eye(3) * 6.0
+    >>> idx, _, shifts = map(jnp.asarray, neighbor_list(
+    ...     pos, cell=cell, cutoff=2.5))
+    >>> vec = pos[idx[:, 1]] - pos[idx[:, 0]] + shifts.astype(pos.dtype) @ cell
+    >>> pme = tpme.PMECalculatorDipole(
+    ...     tpme.PotentialDipole(smearing=0.9), mesh_spacing=0.35)
+    >>> ew = tpme.CalculatorDipole(
+    ...     tpme.PotentialDipole(smearing=0.9), lr_wavelength=0.5)
+    >>> e_pme = jnp.sum(pme(mu, cell, pos, idx, vec) * mu)
+    >>> e_ew = jnp.sum(ew(mu, cell, pos, idx, vec) * mu)
+    >>> print(bool(jnp.abs(e_pme - e_ew) < 1e-4 * jnp.abs(e_ew)))
+    True
+    """
+
+    mesh_spacing: float = static_field(default=1.0)
+    interpolation_nodes: int = static_field(default=6)
+    _method: str = static_field(default="Lagrange", kw_only=True)
+    fft_backend: str = static_field(default="auto", kw_only=True)
+
+    def __post_init__(self):
+        if not isinstance(self.potential, PotentialDipole):
+            raise TypeError(
+                "Potential must be an instance of PotentialDipole, got "
+                f"{type(self.potential)}"
+            )
+        if self.potential.smearing is None:
+            raise ValueError(
+                "Must specify smearing to use a potential with "
+                "PMECalculatorDipole"
+            )
+        if self.lr_wavelength is not None:
+            raise ValueError(
+                "PMECalculatorDipole builds its k-space from `mesh_spacing`; "
+                "`lr_wavelength` must stay None"
+            )
+        if (
+            isinstance(self.mesh_spacing, (int, float))
+            and self.mesh_spacing <= 0
+        ):
+            raise ValueError(
+                f"`mesh_spacing` is {self.mesh_spacing} but must be positive"
+            )
+        if self._method != "Lagrange":
+            raise ValueError(
+                "PMECalculatorDipole supports only the interpolatory "
+                "'Lagrange' stencils: B-spline (P3M) spreading biases the "
+                "quadratic form by the squared stencil transform without "
+                "an influence-function correction"
+            )
+        _weight_coefficients(self._method, self.interpolation_nodes)
+
+    def get_ns_kvectors(self, cell) -> tuple[int, int, int]:
+        """Static MESH shape for a concrete cell (named for drop-in reuse by
+        the dipolar MD/sharded fast paths, which pass it back as
+        ``ns_kvectors``)."""
+        return get_ns_mesh(cell, self.mesh_spacing)
+
+    get_ns_mesh = get_ns_kvectors
+
+    def compute_kvectors(self, cell) -> Array:
+        raise NotImplementedError(
+            "PMECalculatorDipole has no explicit k-vector set; pass "
+            "`ns_kvectors=calc.get_ns_mesh(cell)` under jit instead"
+        )
+
+    def _use_dft(self, ns_mesh) -> bool:
+        if self.fft_backend == "dft":
+            return True
+        if self.fft_backend == "fft":
+            return False
+        import jax as _jax
+
+        return max(ns_mesh) <= 256 and _jax.default_backend() not in ("cpu",)
+
+    def _compute_kspace(
+        self,
+        dipoles: Array,
+        cell: Array,
+        positions: Array,
+        kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+    ) -> Array:
+        if kvectors is not None:
+            raise ValueError(
+                "PMECalculatorDipole takes `ns_kvectors` (the mesh shape), "
+                "not an explicit `kvectors` set"
+            )
+        ns = (
+            tuple(int(n) for n in ns_kvectors)
+            if ns_kvectors is not None
+            else self.get_ns_kvectors(cell)
+        )
+        dtype = positions.dtype
+        interp = compute_dipole_interpolation(
+            positions,
+            jnp.linalg.inv(cell),
+            ns,
+            self.interpolation_nodes,
+            self._method,
+        )
+        q_mesh = dipoles_to_mesh(interp, dipoles.astype(dtype))
+        kfilter = compute_kspace_filter(self.potential.lr_from_k_sq, cell, ns)
+        if self._use_dft(ns):
+            filtered = apply_kspace_filter_dft(q_mesh, kfilter)
+        else:
+            filtered = apply_kspace_filter(
+                q_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
+            )
+        volume = jnp.abs(jnp.linalg.det(cell))
+        field = mesh_to_dipole_field(interp, filtered) / volume
+        field = field - dipoles * self.potential.self_contribution()
+        field = field + self.potential.background_correction(volume) * jnp.sum(
+            dipoles, axis=0
+        )
+        return field / 2

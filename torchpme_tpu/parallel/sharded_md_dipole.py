@@ -109,6 +109,15 @@ def compute_sharded_md_dipole_state(
         slab window is spill-free, pass ``cell_capacity`` for inhomogeneous
         systems).
     """
+    from ..calculators.pme_dipole import PMECalculatorDipole
+
+    if isinstance(calc, PMECalculatorDipole):
+        raise ValueError(
+            "the sharded dipolar step evaluates its k-space as the Ewald "
+            "quadratic form; PMECalculatorDipole's mesh k-space is not "
+            "slab-sharded yet — use CalculatorDipole(smearing, "
+            "lr_wavelength) here"
+        )
     D = int(n_devices)
     clist = compute_cell_list(
         positions, cell, cutoff, capacity=cell_capacity, spill=False,
