@@ -160,8 +160,3 @@ def test_pme_dipole_validation():
         pme._compute_kspace(
             dipoles, cell, positions, kvectors=jnp.zeros((4, 3))
         )
-    # the sharded dipolar tier's k-space is Ewald-only for now
-    from torchpme_tpu.parallel import compute_sharded_md_dipole_state
-
-    with pytest.raises(ValueError, match="not slab-sharded"):
-        compute_sharded_md_dipole_state(pme, positions, cell, 1.5, 2)

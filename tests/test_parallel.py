@@ -785,6 +785,89 @@ def test_sharded_md_dipole_trainable_potential(device_mesh, md_system_dipole):
     np.testing.assert_allclose(float(g_sh), float(g_ref), rtol=1e-10)
 
 
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_sharded_md_dipole_pme_matches_fast_path(
+    device_mesh, md_system_dipole, triclinic
+):
+    """PME-mode sharded dipolar rows step (slab gradient spread +
+    distributed-DFT quadratic form) equals the single-chip dipolar PME
+    cell-list path — energy AND gradients (fields, row forces, stress
+    seed)."""
+    from torchpme_tpu.ops.rspace_cells import compute_cell_list
+    from torchpme_tpu.parallel import (
+        compute_sharded_md_dipole_state,
+        sharded_md_dipole_energy_rows,
+    )
+
+    dipoles, cell, positions = md_system_dipole
+    if triclinic:
+        cell = cell.at[1, 0].add(0.8).at[2, 1].add(-0.5)
+    calc = tpme.PMECalculatorDipole(
+        tpme.PotentialDipole(smearing=0.5), interpolation_nodes=5
+    )
+    state = compute_sharded_md_dipole_state(
+        calc, positions, cell, MD_CUTOFF, 8, ns_mesh=MD_NS
+    )
+    assert state.tm_slot_rows is not None
+    assert state.ns_kvectors == MD_NS
+    rows = state.bucket(positions)
+
+    def f_sh(mu, c, r):
+        return sharded_md_dipole_energy_rows(calc, device_mesh, mu, c, r, state)
+
+    clist = compute_cell_list(
+        positions, cell, MD_CUTOFF,
+        capacity=state.cl_slot_mask.shape[-1], spill=False,
+    )
+
+    def f_ref(mu, c, p):
+        return calc.energy(
+            mu, c, p, cell_list=clist, ns_kvectors=state.ns_kvectors
+        )
+
+    e_sh = jax.jit(f_sh)(dipoles, cell, rows)
+    e_ref = f_ref(dipoles, cell, positions)
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=1e-10)
+
+    g_sh = jax.jit(jax.grad(f_sh, argnums=(0, 1, 2)))(dipoles, cell, rows)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(dipoles, cell, positions)
+    for name, a, b in zip(("dipoles", "cell"), g_ref[:2], g_sh[:2]):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-9 * scale,
+            err_msg=f"gradient w.r.t. {name} diverged",
+        )
+    f_atom = state.unbucket(g_sh[2])
+    scale = float(jnp.max(jnp.abs(g_ref[2])))
+    np.testing.assert_allclose(
+        np.asarray(f_atom), np.asarray(g_ref[2]), atol=1e-9 * scale
+    )
+
+    # staleness NaN-poisons through the mesh branch too
+    drifted = rows.at[int(state.row_of_atom[0]), 0].add(float(cell[0, 0]) / 2)
+    assert bool(jnp.isnan(jax.jit(f_sh)(dipoles, cell, drifted)))
+
+
+def test_sharded_md_dipole_pme_mesh_validation(md_system_dipole):
+    """Mesh divisibility rules mirror the scalar sharded state."""
+    from torchpme_tpu.parallel import compute_sharded_md_dipole_state
+
+    dipoles, cell, positions = md_system_dipole
+    calc = tpme.PMECalculatorDipole(tpme.PotentialDipole(smearing=0.5))
+    with pytest.raises(ValueError, match="divisible"):
+        compute_sharded_md_dipole_state(
+            calc, positions, cell, MD_CUTOFF, 8, ns_mesh=(124, 16, 16)
+        )
+    with pytest.raises(ValueError, match="multiple of 16"):
+        compute_sharded_md_dipole_state(
+            calc, positions, cell, MD_CUTOFF, 8, ns_mesh=(64, 16, 16)
+        )
+    with pytest.raises(ValueError, match="ny"):
+        compute_sharded_md_dipole_state(
+            calc, positions, cell, MD_CUTOFF, 8, ns_mesh=(128, 8, 16)
+        )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver contract: one sharded training step on 8 devices."""
     sys.path.insert(0, str(Path(__file__).parents[1]))

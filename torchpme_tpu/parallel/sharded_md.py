@@ -49,10 +49,11 @@ from ..ops.kspace import (
     _full_dft_matrices,
     _hermitian_fold_weights,
 )
-from ..ops.mesh import compute_1d_weights
+from ..ops.mesh import compute_1d_weight_derivatives, compute_1d_weights
 from ..ops.mesh_tiled import (
     TILE,
     TiledInterpolation,
+    _dense_axis_weights,
     _dense_weight_factors,
     _fold_tiles_to_mesh,
 )
@@ -134,6 +135,105 @@ class ShardedMDState:
                 "to compute_sharded_md_state"
             )
         return rows[self.row_of_atom]
+
+
+def _host_tile_tables(
+    positions, cell, ns_mesh, nodes: int, D: int, tile_capacity: int | None
+) -> np.ndarray:
+    """Per-device mesh-tile slot tables on the extended local slab (host).
+
+    Atoms are assigned by the x plane of their (wrapped) stencil START, so
+    stencils only ever extend rightward into the right halo tile; the left
+    halo tile exists for layout symmetry with the ring fold.  Returns
+    ``atom_of_slot`` of shape ``(D, n_tiles, capacity)`` with the sentinel
+    ``n_atoms`` in empty slots."""
+    nx, ny, _nz = ns_mesh
+    mx = nx // D
+    pos = np.asarray(positions, dtype=np.float64)
+    inv = np.linalg.inv(np.asarray(cell, dtype=np.float64))
+    rel = pos @ inv
+    rel -= np.floor(rel)
+    rel *= np.asarray(ns_mesh)
+    if nodes % 2 == 0:
+        base = np.floor(rel).astype(np.int64)
+    else:
+        base = np.round(rel).astype(np.int64)
+    shift0 = 1 - (nodes + 1) // 2
+    start = (base + shift0) % np.asarray(ns_mesh)
+    dev = start[:, 0] // mx
+    local_x = start[:, 0] - dev * mx + TILE  # ∈ [TILE, TILE + mx)
+    ty_count = ny // TILE
+    tx_local = mx // TILE + 2
+    n_tiles = tx_local * ty_count
+    tile_flat = dev * n_tiles + (local_x // TILE) * ty_count + start[:, 1] // TILE
+
+    counts = np.bincount(tile_flat, minlength=D * n_tiles)
+    n_atoms = pos.shape[0]
+    if tile_capacity is None:
+        # same sizing rule as compute_tiled_interpolation's eager auto-capacity
+        capacity = int(-(-min(n_atoms, int(counts.max()) + 8) // 64) * 64)
+    else:
+        capacity = int(tile_capacity)
+        if counts.max() > capacity:
+            raise ValueError(
+                f"tile_capacity {capacity} below the fullest tile "
+                f"({counts.max()} atoms)"
+            )
+    order = np.argsort(tile_flat, kind="stable")
+    starts_ = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_in = np.arange(n_atoms) - starts_[tile_flat[order]]
+    atom_of_slot = np.full((D * n_tiles, capacity), n_atoms, dtype=np.int32)
+    atom_of_slot[tile_flat[order], rank_in] = order
+    return atom_of_slot.reshape(D, n_tiles, capacity)
+
+
+def _host_row_of_atom(clist, n_atoms: int) -> np.ndarray:
+    """Global slab-row id of every atom (spill=False: exactly one slot)."""
+    idx_np = np.asarray(clist.atom_index)
+    mask_np = np.asarray(clist.slot_mask)
+    flat_rows = np.arange(idx_np.size, dtype=np.int64).reshape(idx_np.shape)
+    row_of_atom_np = np.full(n_atoms, -1, dtype=np.int64)
+    row_of_atom_np[idx_np[mask_np]] = flat_rows[mask_np]
+    assert (row_of_atom_np >= 0).all()
+    return row_of_atom_np
+
+
+def _host_tile_rows(
+    atom_of_slot: np.ndarray,
+    row_of_atom_np: np.ndarray,
+    n_atoms: int,
+    per_dev: int,
+    cellcap: int,
+    nyc: int,
+    nzc: int,
+) -> np.ndarray:
+    """Tile tables as extended-local row ids: a tile-slab-d slot may
+    reference an atom of cell-slab d (local rows) or the first cell plane of
+    slab d+1 (the window's ppermuted halo rows)."""
+    D = atom_of_slot.shape[0]
+    local_rows = per_dev * cellcap
+    plane_rows = nyc * nzc * cellcap
+    ext_rows = local_rows + plane_rows
+    slot_rows = np.full_like(atom_of_slot, ext_rows, dtype=np.int64)
+    for d in range(D):
+        real = atom_of_slot[d] < n_atoms
+        r = row_of_atom_np[np.minimum(atom_of_slot[d], n_atoms - 1)]
+        d_c = r // local_rows
+        loc = r % local_rows
+        own = real & (d_c == d)
+        halo = real & (d_c == (d + 1) % D)
+        bad = real & ~own & ~halo
+        if bad.any() or (halo & (loc >= plane_rows)).any():
+            raise ValueError(
+                "rows mode needs each device's mesh stencils confined to "
+                "its own cell slab plus the next slab's first plane; this "
+                "cell/mesh/nodes geometry violates that (stencil span "
+                "exceeds the cell edge — use rows=False or a finer cell "
+                "grid)"
+            )
+        slot_rows[d][own] = loc[own]
+        slot_rows[d][halo] = local_rows + loc[halo]
+    return slot_rows
 
 
 def compute_sharded_md_state(
@@ -235,12 +335,7 @@ def compute_sharded_md_state(
     if aligned:
         # tile-aligned: cell rows ARE the mesh-tile slots — no tile tables;
         # only the atom→row map is needed (spill=False: exactly one slot)
-        idx_np = np.asarray(clist.atom_index)
-        mask_np = np.asarray(clist.slot_mask)
-        flat_rows = np.arange(idx_np.size, dtype=np.int64).reshape(idx_np.shape)
-        row_of_atom_np = np.full(n_atoms, -1, dtype=np.int64)
-        row_of_atom_np[idx_np[mask_np]] = flat_rows[mask_np]
-        assert (row_of_atom_np >= 0).all()
+        row_of_atom_np = _host_row_of_atom(clist, n_atoms)
         return ShardedMDState(
             cl_atom_index=cl_atom_index,
             cl_slot_mask=cl_slot_mask,
@@ -258,84 +353,20 @@ def compute_sharded_md_state(
             aligned=True,
         )
 
-    # --- k space: per-device mesh-tile tables on the extended local slab.
-    # Atoms are assigned by the x plane of their (wrapped) stencil START, so
-    # stencils only ever extend rightward into the right halo tile; the left
-    # halo tile exists for layout symmetry with the ring fold.
-    pos = np.asarray(positions, dtype=np.float64)
-    inv = np.linalg.inv(np.asarray(cell, dtype=np.float64))
-    rel = pos @ inv
-    rel -= np.floor(rel)
-    rel *= np.asarray(ns_mesh)
-    if nodes % 2 == 0:
-        base = np.floor(rel).astype(np.int64)
-    else:
-        base = np.round(rel).astype(np.int64)
-    shift0 = 1 - (nodes + 1) // 2
-    start = (base + shift0) % np.asarray(ns_mesh)
-    dev = start[:, 0] // mx
-    local_x = start[:, 0] - dev * mx + TILE  # ∈ [TILE, TILE + mx)
-    ty_count = ny // TILE
-    tx_local = mx // TILE + 2
-    n_tiles = tx_local * ty_count
-    tile_flat = dev * n_tiles + (local_x // TILE) * ty_count + start[:, 1] // TILE
-
-    counts = np.bincount(tile_flat, minlength=D * n_tiles)
-    n_atoms = pos.shape[0]
-    if tile_capacity is None:
-        # same sizing rule as compute_tiled_interpolation's eager auto-capacity
-        capacity = int(-(-min(n_atoms, int(counts.max()) + 8) // 64) * 64)
-    else:
-        capacity = int(tile_capacity)
-        if counts.max() > capacity:
-            raise ValueError(
-                f"tile_capacity {capacity} below the fullest tile "
-                f"({counts.max()} atoms)"
-            )
-    order = np.argsort(tile_flat, kind="stable")
-    starts_ = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    rank_in = np.arange(n_atoms) - starts_[tile_flat[order]]
-    atom_of_slot = np.full((D * n_tiles, capacity), n_atoms, dtype=np.int32)
-    atom_of_slot[tile_flat[order], rank_in] = order
-    tm_atom_of_slot = jnp.asarray(atom_of_slot.reshape(D, n_tiles, capacity))
+    # --- k space: per-device mesh-tile tables on the extended local slab
+    atom_of_slot = _host_tile_tables(
+        positions, cell, ns_mesh, nodes, D, tile_capacity
+    )
+    n_tiles, capacity = atom_of_slot.shape[1:]
+    tm_atom_of_slot = jnp.asarray(atom_of_slot)
 
     row_of_atom = None
     tm_slot_rows = None
     if rows:
-        # global slab-row id of every atom (spill=False: exactly one slot)
-        idx_np = np.asarray(clist.atom_index)
-        mask_np = np.asarray(clist.slot_mask)
-        flat_rows = np.arange(idx_np.size, dtype=np.int64).reshape(idx_np.shape)
-        row_of_atom_np = np.full(n_atoms, -1, dtype=np.int64)
-        row_of_atom_np[idx_np[mask_np]] = flat_rows[mask_np]
-        assert (row_of_atom_np >= 0).all()
-
-        # tile tables as extended-local row ids: a tile-slab-d slot may
-        # reference an atom of cell-slab d (local rows) or the first cell
-        # plane of slab d+1 (the window's ppermuted halo rows)
-        local_rows = per_dev * cellcap
-        plane_rows = nyc * nzc * cellcap
-        ext_rows = local_rows + plane_rows
-        a = atom_of_slot.reshape(D, n_tiles, capacity)
-        slot_rows = np.full_like(a, ext_rows, dtype=np.int64)
-        for d in range(D):
-            real = a[d] < n_atoms
-            r = row_of_atom_np[np.minimum(a[d], n_atoms - 1)]
-            d_c = r // local_rows
-            loc = r % local_rows
-            own = real & (d_c == d)
-            halo = real & (d_c == (d + 1) % D)
-            bad = real & ~own & ~halo
-            if bad.any() or (halo & (loc >= plane_rows)).any():
-                raise ValueError(
-                    "rows mode needs each device's mesh stencils confined to "
-                    "its own cell slab plus the next slab's first plane; this "
-                    "cell/mesh/nodes geometry violates that (stencil span "
-                    "exceeds the cell edge — use rows=False or a finer cell "
-                    "grid)"
-                )
-            slot_rows[d][own] = loc[own]
-            slot_rows[d][halo] = local_rows + loc[halo]
+        row_of_atom_np = _host_row_of_atom(clist, n_atoms)
+        slot_rows = _host_tile_rows(
+            atom_of_slot, row_of_atom_np, n_atoms, per_dev, cellcap, nyc, nzc
+        )
         row_of_atom = jnp.asarray(row_of_atom_np, jnp.int32)
         tm_slot_rows = jnp.asarray(slot_rows, jnp.int32)
 
@@ -569,6 +600,114 @@ def _slab_spread_from_slots(
     rho_ext = _fold_tiles_to_mesh(rho_tiles, (ext, ny, nz), nodes)
 
     # fold the halo skirts into the ring neighbors' interiors
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    from_left = lax.ppermute(rho_ext[:, ext - TILE :], axis_name, right)
+    from_right = lax.ppermute(rho_ext[:, :TILE], axis_name, left)
+    interior = rho_ext[:, TILE : TILE + mx]
+    interior = interior.at[:, :TILE].add(from_left)
+    interior = interior.at[:, mx - TILE :].add(from_right)
+    return interior, valid
+
+
+def _slab_spread_dipole_from_slots(
+    pos_slots, mu_slots, empty, cell, ns_mesh, nodes, method, rank,
+    axis_name, n_dev,
+):
+    r"""Tile-GEMM GRADIENT spread for point dipoles + ring skirt fold.
+
+    The dipolar mesh density is :math:`Q(m) = \sum_j \vec\mu_j\cdot
+    \nabla_{r_j} W_j(m)` (see :mod:`torchpme_tpu.calculators.pme_dipole`).
+    With :math:`\tilde\mu_a = n_a \sum_b \mu_b (\text{cell}^{-1})_{ba}` the
+    per-slot value splits into TWO batched GEMMs over the slot axis — one
+    with the x/y-derivative dense factors folded into the ``wxy`` plane
+    (weighted by :math:`\tilde\mu_x,\tilde\mu_y`), one with the plain
+    ``wxy`` against the z-derivative charge factors — instead of the
+    scalar's single GEMM.  Same extended-slab layout, skirt fold, and
+    staleness contract as :func:`_slab_spread_from_slots`.
+    """
+    dtype = pos_slots.dtype
+    nx, ny, nz = ns_mesh
+    mx = nx // n_dev
+    ext = mx + 2 * TILE
+    n_tiles, capacity = pos_slots.shape[:2]
+    ty_count = ny // TILE
+    inverse_cell = jnp.linalg.inv(cell)
+    frac = jnp.einsum(
+        "tka,ab->tkb", pos_slots, inverse_cell, precision="highest"
+    )
+    frac = frac - jnp.floor(frac)
+    ns_arr = jnp.asarray(ns_mesh, dtype=dtype)
+    rel = frac * ns_arr
+    if nodes % 2 == 0:
+        base = jnp.floor(rel).astype(jnp.int32)
+        offsets = rel - (base + 0.5)
+    else:
+        base = jnp.round(rel).astype(jnp.int32)
+        offsets = rel - base
+    weights = jnp.moveaxis(
+        compute_1d_weights(offsets, nodes, method), 0, -1
+    )  # (T, K, 3, n)
+    dweights = jnp.moveaxis(
+        compute_1d_weight_derivatives(offsets, nodes, method), 0, -1
+    )
+    # chain to Cartesian: μ̃_a = n_a Σ_b μ_b (cell⁻¹)_{ba}
+    mu_rel = jnp.einsum(
+        "tkb,ba,a->tka", mu_slots, inverse_cell, ns_arr, precision="highest"
+    )
+    shift0 = 1 - (nodes + 1) // 2
+    start = (base + shift0) % jnp.asarray(ns_mesh, dtype=jnp.int32)
+
+    lx = start[:, :, 0] - rank * mx + TILE
+    tile_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    origin_x = (tile_idx // ty_count * TILE)[:, None]
+    origin_y = (tile_idx % ty_count * TILE)[:, None]
+    loc_x = lx - origin_x
+    loc_y = (start[:, :, 1] - origin_y) % ny
+
+    valid = jnp.all(
+        empty | ((loc_x >= 0) & (loc_x < TILE) & (loc_y < TILE))
+    )
+    dead = empty[..., None]
+    weights = jnp.where(dead[..., None], 0.0, weights)
+    dweights = jnp.where(dead[..., None], 0.0, dweights)
+    mu_rel = jnp.where(dead, 0.0, mu_rel)
+    loc_x = jnp.where(empty, 0, loc_x).astype(jnp.int32)
+    loc_y = jnp.where(empty, 0, loc_y).astype(jnp.int32)
+    start_z = jnp.where(empty, 0, start[:, :, 2]).astype(jnp.int32)
+
+    extent = TILE + nodes - 1
+    wx = _dense_axis_weights(loc_x, weights[:, :, 0], extent)
+    wy = _dense_axis_weights(loc_y, weights[:, :, 1], extent)
+    wz = _dense_axis_weights(start_z, weights[:, :, 2], nz, wrap=nz)
+    dwx = _dense_axis_weights(loc_x, dweights[:, :, 0], extent)
+    dwy = _dense_axis_weights(loc_y, dweights[:, :, 1], extent)
+    dwz = _dense_axis_weights(start_z, dweights[:, :, 2], nz, wrap=nz)
+
+    # GEMM 1: (μ̃_x · ẇx⊗wy + μ̃_y · wx⊗ẇy) against the plain z factors
+    wxy_d = (
+        mu_rel[:, :, 0, None, None] * (dwx[:, :, :, None] * wy[:, :, None, :])
+        + mu_rel[:, :, 1, None, None] * (wx[:, :, :, None] * dwy[:, :, None, :])
+    )
+    # GEMM 2: plain wx⊗wy against μ̃_z-weighted ż factors
+    wxy = wx[:, :, :, None] * wy[:, :, None, :]
+    qz = mu_rel[:, :, 2, None] * dwz
+    rho_tiles = lax.dot_general(
+        wxy_d.reshape(n_tiles, capacity, extent * extent),
+        wz.reshape(n_tiles, capacity, nz),
+        (((1,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    ) + lax.dot_general(
+        wxy.reshape(n_tiles, capacity, extent * extent),
+        qz.reshape(n_tiles, capacity, nz),
+        (((1,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    )
+    rho_tiles = rho_tiles.reshape(n_tiles, extent, extent, nz, 1)
+    rho_ext = _fold_tiles_to_mesh(rho_tiles, (ext, ny, nz), nodes)
+
     right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
     from_left = lax.ppermute(rho_ext[:, ext - TILE :], axis_name, right)

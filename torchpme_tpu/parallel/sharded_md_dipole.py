@@ -11,13 +11,21 @@ to the two dipolar engines:
   zeroed on the halo plane so every unordered pair is owned by exactly one
   device (``_dw_energy_split``, the dipolar analog of the scalar split
   window).
-* **k space** — the Ewald sum as a quadratic form: each device computes the
-  partial structure factors :math:`S(k) = \\sum_i (\\vec\\mu_i\\cdot\\vec k)
-  e^{i k\\cdot r_i}` over its own rows, ONE ``psum`` of the ``(2, n_k)``
-  spectrum, and the replicated energy :math:`\\sum_k \\hat v(k) |S(k)|^2 / V`
-  — the collective carries O(n_k), never O(atoms).  Canonical (cell-frame)
-  positions are exact here because every Ewald k-vector is a reciprocal
-  lattice vector (``e^{i k\\cdot(r+L)} = e^{i k\\cdot r}``).
+* **k space, Ewald mode** (:class:`CalculatorDipole`) — the Ewald sum as a
+  quadratic form: each device computes the partial structure factors
+  :math:`S(k) = \\sum_i (\\vec\\mu_i\\cdot\\vec k) e^{i k\\cdot r_i}` over
+  its own rows, ONE ``psum`` of the ``(2, n_k)`` spectrum, and the
+  replicated energy :math:`\\sum_k \\hat v(k) |S(k)|^2 / V` — the collective
+  carries O(n_k), never O(atoms).  Canonical (cell-frame) positions are
+  exact here because every Ewald k-vector is a reciprocal lattice vector
+  (``e^{i k\\cdot(r+L)} = e^{i k\\cdot r}``).
+* **k space, PME mode** (:class:`PMECalculatorDipole`) — the dipolar
+  GRADIENT spread runs per mesh slab with the two-GEMM tile spread
+  (:func:`.sharded_md._slab_spread_dipole_from_slots`), the tile tables
+  reference the extended-local rows the window halo already shipped (zero
+  extra collectives on the spread side), and the energy is the distributed
+  Parseval quadratic form (ONE ``all_to_all`` layout swap) — the same
+  collective budget as the scalar sharded rows step, at O(mesh/D) volume.
 
 No reference counterpart: the reference dipolar calculator is single-device
 and pair-list only (``/root/reference/src/torchpme/calculators/
@@ -70,11 +78,18 @@ class ShardedMDDipoleState:
     row_of_atom: Array
     n_axis: tuple[int, int, int] = field(metadata=dict(static=True))
     cutoff: float = field(metadata=dict(static=True))
+    #: Ewald mode: the k-space extents; PME mode: the mesh shape (both are
+    #: what ``calc._compute_kspace(..., ns_kvectors=...)`` expects back)
     ns_kvectors: tuple[int, int, int] | None = field(
         metadata=dict(static=True)
     )
     n_devices: int = field(metadata=dict(static=True))
     n_atoms: int = field(metadata=dict(static=True))
+    #: PME mode only — mesh-tile slot tables as extended-local row ids
+    #: (None selects the Ewald quadratic-form k-space)
+    tm_slot_rows: Array | None = None
+    nodes: int = field(metadata=dict(static=True), default=0)
+    method: str = field(metadata=dict(static=True), default="")
 
     @property
     def n_rows(self) -> int:
@@ -99,26 +114,54 @@ def compute_sharded_md_dipole_state(
     cutoff: float,
     n_devices: int = 8,
     cell_capacity: int | None = None,
+    tile_capacity: int | None = None,
+    ns_mesh=None,
 ) -> ShardedMDDipoleState:
     """Bucket atoms into per-device cell slabs for the dipolar step (host,
     eager).
 
-    :param calc: a :class:`~torchpme_tpu.calculators.CalculatorDipole`;
-        supplies the static k-space extents (direct mode: none).
+    :param calc: a :class:`~torchpme_tpu.calculators.CalculatorDipole`
+        (Ewald quadratic-form k-space; direct mode: none) or a
+        :class:`~torchpme_tpu.calculators.PMECalculatorDipole` (slab-sharded
+        gradient spread + distributed-DFT quadratic form; the mesh shape
+        must satisfy the same divisibility rules as the scalar sharded
+        state, and additionally builds mesh-tile tables — pass
+        ``tile_capacity`` for inhomogeneous systems).
     :param cutoff: real-space cutoff (as for ``compute_cell_list``; the
         slab window is spill-free, pass ``cell_capacity`` for inhomogeneous
         systems).
     """
     from ..calculators.pme_dipole import PMECalculatorDipole
+    from .sharded_md import _host_row_of_atom, _host_tile_rows, _host_tile_tables
 
-    if isinstance(calc, PMECalculatorDipole):
-        raise ValueError(
-            "the sharded dipolar step evaluates its k-space as the Ewald "
-            "quadratic form; PMECalculatorDipole's mesh k-space is not "
-            "slab-sharded yet — use CalculatorDipole(smearing, "
-            "lr_wavelength) here"
-        )
+    mesh_mode = isinstance(calc, PMECalculatorDipole)
     D = int(n_devices)
+    if mesh_mode:
+        if ns_mesh is None:
+            ns_mesh = calc.get_ns_mesh(cell)
+        ns_mesh = tuple(int(n) for n in ns_mesh)
+        nx, ny, _nz = ns_mesh
+        if nx % D:
+            raise ValueError(f"mesh nx={nx} must be divisible by {D} devices")
+        mx = nx // D
+        from ..ops.mesh_tiled import TILE
+
+        if mx % (2 * TILE):
+            raise ValueError(
+                f"mesh slab of {mx} planes must be a multiple of {2 * TILE} "
+                "for the tiled slab spread (use a finer mesh or fewer "
+                "devices)"
+            )
+        if ny % (2 * TILE) or ny % D:
+            raise ValueError(
+                f"mesh ny={ny} must be a multiple of {2 * TILE} and of the "
+                f"{D}-device axis (for the distributed-DFT layout swap)"
+            )
+        nodes = int(calc.interpolation_nodes)
+        if nodes > TILE + 1:
+            raise ValueError(
+                f"interpolation_nodes={nodes} exceeds the tile halo"
+            )
     clist = compute_cell_list(
         positions, cell, cutoff, capacity=cell_capacity, spill=False,
         x_multiple=D,
@@ -127,19 +170,28 @@ def compute_sharded_md_dipole_state(
     cap = clist.slot_mask.shape[1]
     per_dev = (nxc // D) * nyc * nzc
     n_atoms = int(np.asarray(positions).shape[0])
+    row_of_atom = _host_row_of_atom(clist, n_atoms)
 
-    idx_np = np.asarray(clist.atom_index)
-    mask_np = np.asarray(clist.slot_mask)
-    flat_rows = np.arange(idx_np.size, dtype=np.int64).reshape(idx_np.shape)
-    row_of_atom = np.full(n_atoms, -1, dtype=np.int64)
-    row_of_atom[idx_np[mask_np]] = flat_rows[mask_np]
-    assert (row_of_atom >= 0).all()
-
-    ns_k = (
-        calc.get_ns_kvectors(cell)
-        if calc.potential.smearing is not None
-        else None
-    )
+    tm_slot_rows = None
+    nodes_out, method = 0, ""
+    if mesh_mode:
+        atom_of_slot = _host_tile_tables(
+            positions, cell, ns_mesh, nodes, D, tile_capacity
+        )
+        tm_slot_rows = jnp.asarray(
+            _host_tile_rows(
+                atom_of_slot, row_of_atom, n_atoms, per_dev, cap, nyc, nzc
+            ),
+            jnp.int32,
+        )
+        ns_k = ns_mesh
+        nodes_out, method = nodes, calc._method
+    else:
+        ns_k = (
+            calc.get_ns_kvectors(cell)
+            if calc.potential.smearing is not None
+            else None
+        )
     return ShardedMDDipoleState(
         cl_atom_index=clist.atom_index.reshape(D, per_dev, cap),
         cl_slot_mask=clist.slot_mask.reshape(D, per_dev, cap),
@@ -150,6 +202,9 @@ def compute_sharded_md_dipole_state(
         ns_kvectors=ns_k,
         n_devices=D,
         n_atoms=n_atoms,
+        tm_slot_rows=tm_slot_rows,
+        nodes=nodes_out,
+        method=method,
     )
 
 
@@ -161,7 +216,9 @@ def _slab_dipole_window_from_grids(
     Identical plumbing to the scalar ``_slab_window_from_grids``: the right
     neighbor's first x plane rides one ``ppermute`` and the *i-side dipoles*
     are zeroed on the halo plane, so each unordered pair is owned by the
-    device of its lower-x cell."""
+    device of its lower-x cell.  Returns ``(e, pc_ext, mu_ext)`` — the
+    extended grids feed the mesh side of the PME-mode rows step (the mesh
+    tile tables reference the halo rows this ppermute already shipped)."""
     dtype = pc_t.dtype
     bx, cap = pc_t.shape[0], pc_t.shape[-1]
     n_axis_f = jnp.asarray(n_axis, dtype=dtype)
@@ -191,14 +248,16 @@ def _slab_dipole_window_from_grids(
     offs = lax.pcast(offs, (axis_name,), to="varying")
     spec = (float(cutoff), chunks, use_analytic)
     if use_analytic:
-        return _dw_energy_split(
+        e = _dw_energy_split(
             spec, potential, pc_ext, mu_ext, mf_ext, offs, mui_ext
         )
-    potential = jax.tree_util.tree_map(
-        lambda x: lax.pcast(jnp.asarray(x), (axis_name,), to="varying"),
-        potential,
-    )
-    return _dw_math(spec, potential, pc_ext, mu_ext, mf_ext, offs, mui_ext)
+    else:
+        potential = jax.tree_util.tree_map(
+            lambda x: lax.pcast(jnp.asarray(x), (axis_name,), to="varying"),
+            potential,
+        )
+        e = _dw_math(spec, potential, pc_ext, mu_ext, mf_ext, offs, mui_ext)
+    return e, pc_ext, mu_ext
 
 
 def sharded_md_dipole_energy_rows(
@@ -237,17 +296,32 @@ def sharded_md_dipole_energy_rows(
         )
     potential = calc.potential
     lr = potential.smearing is not None
-    kvectors = (
-        generate_kvectors_for_ewald(
-            cell, tuple(int(n) for n in state.ns_kvectors)
+    mesh_mode = state.tm_slot_rows is not None
+    if mesh_mode:
+        from ..ops.kspace import compute_kspace_filter
+        from .sharded_md import (
+            _dft_quadratic_sharded,
+            _slab_spread_dipole_from_slots,
         )
-        if lr
-        else jnp.zeros((0, 3), pos_rows.dtype)
-    )
 
-    def local(dipoles, cell, rows, kv, cl_idx, cl_mask, cl_wrap):
+        ns_mesh = tuple(int(n) for n in state.ns_kvectors)
+        # the (nx, ny, kz) mesh filter, y-sharded into the shard_map
+        kvectors = compute_kspace_filter(potential.lr_from_k_sq, cell, ns_mesh)
+    else:
+        kvectors = (
+            generate_kvectors_for_ewald(
+                cell, tuple(int(n) for n in state.ns_kvectors)
+            )
+            if lr
+            else jnp.zeros((0, 3), pos_rows.dtype)
+        )
+    nxc, nyc, nzc = state.n_axis
+    plane_cells = nyc * nzc
+
+    def local(dipoles, cell, rows, kv, cl_idx, cl_mask, cl_wrap, slot_rows):
         rank = lax.axis_index(axis)
         cl_idx, cl_mask, cl_wrap = cl_idx[0], cl_mask[0], cl_wrap[0]
+        slot_rows = slot_rows[0]
         dtype = rows.dtype
         cells_local, cap = cl_mask.shape
 
@@ -259,10 +333,57 @@ def sharded_md_dipole_energy_rows(
         pc_t, mu_gr, mf_g, centers, valid = _slab_grids(
             pos_b, mu_b, mask_b, cell, state.n_axis, rank, n_dev
         )
-        e_r = _slab_dipole_window_from_grids(
+        e_r, pc_ext, mu_ext = _slab_dipole_window_from_grids(
             potential, pc_t, mu_gr, mf_g, cell, state.n_axis, state.cutoff,
             axis, n_dev,
         )
+
+        if mesh_mode:
+            # slab-sharded dipolar PME: gradient spread from the extended-
+            # local rows (the window halo already shipped the next slab's
+            # first cell plane), then the distributed-DFT quadratic form —
+            # same collective budget as the scalar rows step
+            n_axis_f = jnp.asarray(state.n_axis, dtype=dtype)
+            halo_home = ((rank + 1) % n_dev) * cells_local + jnp.arange(
+                plane_cells, dtype=jnp.int32
+            )
+            halo3 = jnp.stack(
+                [
+                    halo_home // (nyc * nzc),
+                    (halo_home // nzc) % nyc,
+                    halo_home % nzc,
+                ],
+                axis=-1,
+            ).astype(dtype)
+            centers_halo = jnp.matmul(
+                (halo3 + 0.5) / n_axis_f, cell, precision="highest"
+            )
+            centers_ext = jnp.concatenate([centers, centers_halo], axis=0)
+            ext_cells = cells_local + plane_cells
+            pc_rows = jnp.swapaxes(pc_ext, -1, -2).reshape(ext_cells, cap, 3)
+            pos_ext = (pc_rows + centers_ext[:, None, :]).reshape(-1, 3)
+            mu_rows = mu_ext.reshape(-1, 3)
+
+            padded_pos = jnp.concatenate(
+                [pos_ext, jnp.zeros((1, 3), dtype)], axis=0
+            )
+            padded_mu = jnp.concatenate(
+                [mu_rows, jnp.zeros((1, 3), dtype)], axis=0
+            )
+            pos_slots = padded_pos[slot_rows]
+            mu_slots = padded_mu[slot_rows]
+            empty = slot_rows == ext_cells * cap
+            interior, valid_m = _slab_spread_dipole_from_slots(
+                pos_slots, mu_slots, empty, cell, ns_mesh, state.nodes,
+                state.method, rank, axis, n_dev,
+            )
+            e_quad_part = _dft_quadratic_sharded(interior, kv, axis, n_dev)
+            flag = jnp.where(valid & valid_m, 1.0, jnp.nan).astype(e_r.dtype)
+            flag = lax.psum(flag, axis) / n_dev
+            return (
+                lax.psum(e_r * flag, axis),
+                lax.psum(e_quad_part * flag, axis),
+            )
 
         if lr:
             # Ewald quadratic form from the local rows: partial structure
@@ -301,13 +422,17 @@ def sharded_md_dipole_energy_rows(
         local,
         mesh=device_mesh,
         in_specs=(
-            P(), P(), P(axis), P(),
-            P(axis), P(axis), P(axis),
+            P(), P(), P(axis),
+            P(None, axis, None) if mesh_mode else P(),
+            P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(), P()),
     )(
         dipoles, cell, pos_rows, kvectors,
         state.cl_atom_index, state.cl_slot_mask, state.cl_atom_wrap,
+        # Ewald states carry no tile tables; the (unused) cell index block
+        # stands in so the shard_map signature stays uniform
+        state.tm_slot_rows if mesh_mode else state.cl_atom_index,
     )
     if not lr:
         return e_r
