@@ -1,3 +1,4 @@
+from .dipole import tune_ewald_dipole, tune_pme_dipole
 from .ewald import EwaldErrorBounds, tune_ewald
 from .p3m import P3MErrorBounds, tune_p3m
 from .pme import PMEErrorBounds, tune_pme
@@ -18,7 +19,9 @@ __all__ = [
     "TuningErrorBounds",
     "TuningTimings",
     "tune_ewald",
+    "tune_ewald_dipole",
     "tune_over_cutoffs",
     "tune_p3m",
     "tune_pme",
+    "tune_pme_dipole",
 ]
