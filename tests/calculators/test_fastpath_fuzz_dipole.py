@@ -111,12 +111,57 @@ def test_dipole_exclusion_radius_fast_path():
     _assert_match(e_fast, e_ref, (positions, dipoles, cell))
 
 
-def test_dipole_cell_list_rejects_spill():
-    positions, dipoles, cell, cutoff, _rng = _random_system(431)
-    calc = CalculatorDipole(PotentialDipole())
-    clist = compute_cell_list(positions, cell, cutoff, capacity=1, spill=True)
-    with pytest.raises(ValueError, match="overflow side list"):
-        calc.energy(dipoles, cell, positions, cell_list=clist)
+@pytest.mark.parametrize("seed", [431, 432])
+def test_dipole_cell_list_spill_matches_reference_path(seed):
+    """A tight capacity with the overflow side list (inhomogeneous systems)
+    must reproduce the neighbor-list path — values and all gradients."""
+    rng = np.random.default_rng(seed)
+    box = 12.0
+    cluster = rng.normal(0, 0.9, (50, 3)) + 6.0
+    gas = rng.uniform(0, box, (50, 3))
+    positions = jnp.asarray(np.concatenate([cluster, gas]))
+    dipoles = jnp.asarray(rng.normal(size=(100, 3)))
+    cell = jnp.eye(3) * box
+    cutoff = 3.0
+    calc = CalculatorDipole(
+        PotentialDipole(smearing=0.9), lr_wavelength=1.2
+    )
+    ns_k = calc.get_ns_kvectors(cell)
+    clist = compute_cell_list(positions, cell, cutoff, capacity=8, spill=True)
+    assert clist.extra_index is not None and int(clist.extra_mask.sum()) > 0
+    idx, _d, shifts = map(
+        jnp.asarray,
+        neighbor_list(np.asarray(positions), np.asarray(cell), cutoff),
+    )
+
+    def e_fast(p, m, c):
+        return calc.energy(m, c, p, cell_list=clist, ns_kvectors=ns_k)
+
+    def e_ref(p, m, c):
+        vec = p[idx[:, 1]] - p[idx[:, 0]] + shifts.astype(p.dtype) @ c
+        return jnp.sum(calc(m, c, p, idx, vec, ns_kvectors=ns_k) * m)
+
+    _assert_match(e_fast, e_ref, (positions, dipoles, cell))
+
+    # the rows fast path carries the extras as tail rows
+    from torchpme_tpu import MDFastPathDipole
+
+    fp = MDFastPathDipole.create(
+        calc, positions, cell, cutoff, cell_capacity=8, _spill=True
+    )
+    rows = fp.bucket(positions)
+    np.testing.assert_allclose(
+        np.asarray(fp.unbucket(rows)), np.asarray(positions)
+    )
+    e_rows, g_rows = jax.jit(jax.value_and_grad(fp.energy, argnums=2))(
+        dipoles, cell, rows
+    )
+    e2, g2 = jax.value_and_grad(e_ref, argnums=0)(positions, dipoles, cell)
+    np.testing.assert_allclose(float(e_rows), float(e2), rtol=1e-10)
+    scale = float(jnp.max(jnp.abs(g2)))
+    np.testing.assert_allclose(
+        np.asarray(fp.unbucket(g_rows)), np.asarray(g2), atol=1e-9 * scale
+    )
 
 
 def test_dipole_energy_requires_some_pair_source():

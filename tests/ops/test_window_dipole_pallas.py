@@ -28,7 +28,8 @@ def make_system(n, box, cutoff, smearing, triclinic=False, seed=0):
     )
     dipoles = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
     pot = PotentialDipole(smearing=smearing, prefactor=1.3)
-    # the dipolar engine takes no overflow side list: build spill-free
+    # spill-free: the Pallas window kernel tests drive the window alone
+    # (extras take the separate XLA side-pass, like the scalar engine)
     clist = rc.compute_cell_list(positions, cell, cutoff, spill=False)
     return pot, dipoles, positions, cell, clist
 

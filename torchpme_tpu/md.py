@@ -459,12 +459,14 @@ class MDFastPathDipole:
         cutoff: float,
         cell_capacity: int | None = None,
         window_impl: str = "auto",
+        _spill: bool | None = None,
     ) -> "MDFastPathDipole":
         """Bucket ``positions`` for the dipolar ``calc`` (host-side, eager).
 
-        The cell list is built spill-free (the dipolar window engine does
-        not take a side list); pass ``cell_capacity`` for inhomogeneous
-        systems.
+        Like :meth:`MDFastPath.create`, the cell list uses a tight capacity
+        with the overflow spill side list by default (``_spill``), so
+        inhomogeneous systems need no manual capacity tuning; extras ride
+        as tail rows.
 
         :param window_impl: real-space window engine — ``"xla"`` (the
             roll/einsum dipolar window), ``"pallas"`` (the fused VMEM
@@ -496,7 +498,7 @@ class MDFastPathDipole:
                 "'xla' or 'pallas'"
             )
         clist = compute_cell_list(
-            positions, cell, cutoff, capacity=cell_capacity, spill=False
+            positions, cell, cutoff, capacity=cell_capacity, spill=_spill
         )
         n_atoms = int(np.asarray(positions).shape[0])
         row_of_atom, n_rows = _row_mapping(clist, n_atoms)
@@ -534,6 +536,7 @@ class MDFastPathDipole:
             cutoff if cutoff is not None else self.clist.cutoff,
             cell_capacity=self.clist.slot_mask.shape[1],
             window_impl=self.window_impl,
+            _spill=self.clist.extra_index is not None,
         )
 
     def energy(self, dipoles: Array, cell: Array, pos_rows: Array) -> Array:

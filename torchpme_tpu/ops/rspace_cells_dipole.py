@@ -42,6 +42,8 @@ from .rspace_cells import (
     CellList,
     _chunk_geometry,
     _prepare,
+    _prepare_extras,
+    _prepare_extras_bucketed,
     _we_bwd,
 )
 
@@ -76,13 +78,21 @@ def cell_list_rspace_dipole_energy(
         (the fused VMEM kernel,
         :mod:`torchpme_tpu.ops.pallas.window_dipole_pallas`).
     """
-    _reject_spill(clist)
     pc_t, mu_g, mf_g, offs, valid, chunks = _prepare(
         dipoles, positions, cell, clist
     )
-    return _dipole_window_energy(
-        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist, window_impl
+    e0 = _dipole_window_energy(
+        potential, pc_t, mu_g, mf_g, offs, chunks, clist, window_impl
     )
+    if clist.extra_index is not None:
+        pe, pe_abs, mue, valid_e = _prepare_extras(
+            dipoles, positions, cell, clist
+        )
+        e0 = e0 + _extras_dipole_energy(
+            potential, pc_t, mu_g, mf_g, pe, pe_abs, mue, clist, cell
+        )
+        valid = valid & valid_e
+    return e0 * jnp.where(valid, 1.0, jnp.nan).astype(e0.dtype)
 
 
 def cell_list_rspace_dipole_energy_rows(
@@ -100,29 +110,109 @@ def cell_list_rspace_dipole_energy_rows(
     with no scatter.  Values and gradients equal
     :func:`cell_list_rspace_dipole_energy` up to the row permutation.
     """
-    _reject_spill(clist)
     from .rspace_cells import _prepare_bucketed
 
     n_cells, cap = clist.slot_mask.shape
+    nb = n_cells * cap
     dtype = pos_rows.dtype
     pc_t, mu_g, mf_g, offs, valid, chunks = _prepare_bucketed(
         dipoles.astype(dtype)[clist.atom_index],
-        pos_rows[: n_cells * cap].reshape(n_cells, cap, 3),
+        pos_rows[:nb].reshape(n_cells, cap, 3),
         cell,
         clist,
     )
-    return _dipole_window_energy(
-        potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist, window_impl
+    e0 = _dipole_window_energy(
+        potential, pc_t, mu_g, mf_g, offs, chunks, clist, window_impl
     )
-
-
-def _reject_spill(clist: CellList) -> None:
     if clist.extra_index is not None:
-        raise ValueError(
-            "The dipolar cell-list energy does not support the overflow "
-            "side list yet; rebuild the cell list with an explicit "
-            "`capacity` (spill=False)"
+        pe, pe_abs, mue, valid_e = _prepare_extras_bucketed(
+            dipoles.astype(dtype)[clist.extra_index],
+            pos_rows[nb:].reshape(-1, 3),
+            cell,
+            clist,
         )
+        e0 = e0 + _extras_dipole_energy(
+            potential, pc_t, mu_g, mf_g, pe, pe_abs, mue, clist, cell
+        )
+        valid = valid & valid_e
+    return e0 * jnp.where(valid, 1.0, jnp.nan).astype(e0.dtype)
+
+
+def _extras_dipole_energy(
+    potential, pc_t, mu_g, mf_g, pe, pe_abs, mue, clist, cell
+) -> Array:
+    r"""Total dipolar energy of the spill pairs (plain autodiff; the extras
+    are a few % of the atoms by construction, so the O(E·27·cap + E²)
+    geometry stays negligible).
+
+    Same structure as the scalar :func:`rspace_cells._extras_energy` —
+    extra↔bucket pairs over the full 27-cell window around each extra's
+    home cell (one small row gather), extra↔extra pairs by fractional
+    minimum image — with the scalar pair value replaced by the dipolar
+    contraction :math:`B\,(\mu_i\cdot\mu_j) − C\,(\mu_i\cdot r)(\mu_j\cdot
+    r)` (sign of :math:`r` irrelevant: it enters as a product of two
+    projections).  Each extra↔bucket ordered pair is the unordered pair
+    counted once; extra↔extra pairs appear in both directions, hence the ½.
+    """
+    from .rspace_cells import _D27
+
+    scalars = _scalar_hooks(potential)[0]
+    dtype = pc_t.dtype
+    nx, ny, nz, _, cap = pc_t.shape
+    n_cells = nx * ny * nz
+    n_axis = jnp.asarray([nx, ny, nz], dtype)
+    cut2 = jnp.asarray(clist.cutoff, dtype) ** 2
+    e_pad = pe.shape[0]
+    w27 = 27 * cap
+
+    d27 = jnp.asarray(_D27, jnp.int32)  # (27, 3)
+    nb3 = (clist.extra_cell[:, None, :] + d27[None]) % jnp.asarray(
+        [nx, ny, nz], jnp.int32
+    )
+    ids = (nb3[..., 0] * ny + nb3[..., 1]) * nz + nb3[..., 2]  # (E, 27)
+    rows_p = jnp.moveaxis(pc_t.reshape(n_cells, 3, cap)[ids], 2, 1).reshape(
+        e_pad, 3, w27
+    )
+    rows_mu = mu_g.reshape(n_cells, cap, 3)[ids].reshape(e_pad, w27, 3)
+    rows_m = mf_g.reshape(n_cells, cap)[ids].reshape(e_pad, w27)
+    offv = jnp.matmul(d27.astype(dtype) / n_axis, cell, precision="highest")
+    off_flat = jnp.repeat(offv.T, cap, axis=1)  # (3, 27·cap)
+    rv = [
+        rows_p[:, c, :] + off_flat[c][None, :] - pe[:, c, None]
+        for c in range(3)
+    ]  # r = p_bucket − p_extra, (E, 27·cap) per component
+    d2 = rv[0] ** 2 + rv[1] ** 2 + rv[2] ** 2
+    ok = (d2 < cut2) & (rows_m > 0.5) & clist.extra_mask[:, None]
+    d = jnp.sqrt(jnp.where(ok, d2, 1.0))
+    b, c_ = scalars(d)
+    okf = ok.astype(dtype)
+    mumu = sum(mue[:, c, None] * rows_mu[..., c] for c in range(3))
+    ri = sum(mue[:, c, None] * rv[c] for c in range(3))
+    rj = sum(rows_mu[..., c] * rv[c] for c in range(3))
+    e_em = jnp.sum(okf * (b * mumu - c_ * ri * rj))
+
+    # extra ↔ extra: fractional minimum image, (E, E) planes per axis
+    inv_cell = jnp.linalg.inv(cell)
+    f = jnp.matmul(pe_abs, inv_cell, precision="highest")  # (E, 3)
+    g = []
+    for c in range(3):
+        df = f[:, c][:, None] - f[:, c][None, :]
+        g.append(df - jnp.round(df))
+    rvec = [
+        g[0] * cell[0, d] + g[1] * cell[1, d] + g[2] * cell[2, d]
+        for d in range(3)
+    ]
+    d2e = rvec[0] ** 2 + rvec[1] ** 2 + rvec[2] ** 2
+    m_ee = clist.extra_mask[:, None] & clist.extra_mask[None, :]
+    ok_ee = (d2e < cut2) & m_ee & ~jnp.eye(e_pad, dtype=bool)
+    d_ee = jnp.sqrt(jnp.where(ok_ee, d2e, 1.0))
+    b_ee, c_ee = scalars(d_ee)
+    okf_ee = ok_ee.astype(dtype)
+    mumu_ee = jnp.matmul(mue, mue.T, precision="highest")
+    ri_ee = sum(mue[:, d, None] * rvec[d] for d in range(3))
+    rj_ee = sum(mue[None, :, d] * rvec[d] for d in range(3))
+    e_ee = 0.5 * jnp.sum(okf_ee * (b_ee * mumu_ee - c_ee * ri_ee * rj_ee))
+    return e_em + e_ee
 
 
 def _scalar_hooks(potential):
@@ -181,14 +271,14 @@ def _dipole_window_spec(cutoff, chunks, potential, window_impl="xla"):
 
 
 def _dipole_window_energy(
-    potential, pc_t, mu_g, mf_g, offs, valid, chunks, clist, window_impl="xla"
+    potential, pc_t, mu_g, mf_g, offs, chunks, clist, window_impl="xla"
 ) -> Array:
+    """Raw window energy (staleness poisoning is the entry points' job —
+    they AND the window flag with the extras' before multiplying)."""
     spec = _dipole_window_spec(clist.cutoff, chunks, potential, window_impl)
     if spec[2]:
-        e = _dw_energy(spec, potential, pc_t, mu_g, mf_g, offs)
-    else:
-        e = _dw_math(spec, potential, pc_t, mu_g, mf_g, offs)
-    return e * jnp.where(valid, 1.0, jnp.nan).astype(e.dtype)
+        return _dw_energy(spec, potential, pc_t, mu_g, mf_g, offs)
+    return _dw_math(spec, potential, pc_t, mu_g, mf_g, offs)
 
 
 def _dw_math(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None) -> Array:
