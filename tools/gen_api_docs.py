@@ -98,10 +98,11 @@ def document_module(name: str, blurb: str) -> list[str]:
 def main():
     lines = [
         "# API reference\n",
-        "*Generated from the live docstrings by `tools/gen_api_docs.py` — "
-        "the environment ships no sphinx, so the rendered-site axis of the "
-        "reference is covered by this markdown reference plus the doctested "
-        "examples (`tests/test_doctests.py`, `tests/test_examples.py`).*\n",
+        "*Generated from the live docstrings by `tools/gen_api_docs.py`; "
+        "rendered into the HTML site by `tools/build_docs.py` "
+        "(`docs/html/api.html`). Every docstring is doctested "
+        "(`tests/test_doctests.py`), so this reference cannot drift from "
+        "the code.*\n",
     ]
     for name, blurb in MODULES:
         lines.extend(document_module(name, blurb))
