@@ -124,6 +124,13 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
 
     import torchpme_tpu as tpme
 
+    # device-alive heartbeat for the orchestrator's wedge watchdog: a wedged
+    # tunnel hangs even this op, so absence of the file means "kill early"
+    jnp.zeros(8).sum().block_until_ready()
+    hb = os.environ.get("BENCH_HEARTBEAT")
+    if hb:
+        Path(hb).touch()
+
     dtype = jnp.float32
     charges_j = jnp.asarray(charges, dtype=dtype)
     cell_j = jnp.asarray(cell, dtype=dtype)
@@ -277,7 +284,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"pme_energy_force_ms_per_step_{N_ATOMS}atoms_water_1e-4",
+                "metric": (
+                    f"pme_energy_force_ms_per_step_{N_ATOMS}atoms_water_1e-4"
+                    + os.environ.get("BENCH_METRIC_SUFFIX", "")
+                ),
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(vs_baseline, 3),
@@ -286,5 +296,84 @@ def main():
     )
 
 
+def orchestrate():
+    """Run the measurement in a watchdogged subprocess.
+
+    The tunneled TPU runtime on this machine intermittently wedges at the
+    tunnel level (even trivial ops hang, sometimes for hours).  A wedged
+    child is killed and retried once — a killed-and-retried compile
+    normally succeeds in about a minute — and if the retry also wedges,
+    the same measurement runs on local CPU with the metric renamed to say
+    so, so the benchmark always emits its one JSON line instead of
+    hanging the driver."""
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_DEADLINE", 1500))
+    env = dict(os.environ, BENCH_CHILD="1")
+
+    def run(extra_env, timeout, probe_timeout=None):
+        hb = REPO / ".bench_heartbeat"
+        hb.unlink(missing_ok=True)
+        proc = subprocess.Popen(
+            [sys.executable, __file__],
+            stdout=subprocess.PIPE,
+            env=dict(env, **extra_env, BENCH_HEARTBEAT=str(hb)),
+            start_new_session=True,
+            text=True,
+        )
+        start = time.monotonic()
+        while True:
+            try:
+                out, _ = proc.communicate(timeout=5)
+                return out if proc.returncode == 0 else None
+            except subprocess.TimeoutExpired:
+                elapsed = time.monotonic() - start
+                wedged = (
+                    probe_timeout
+                    and elapsed > probe_timeout
+                    and not hb.exists()
+                )
+                if elapsed > timeout or wedged:
+                    import signal
+
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass
+                    proc.wait()
+                    return None
+
+    for attempt in (1, 2):
+        out = run(
+            {},
+            deadline,
+            probe_timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", 300)),
+        )
+        if out:
+            sys.stdout.write(out)
+            return
+        print(
+            f"# bench attempt {attempt} failed/wedged after {deadline:.0f}s",
+            file=sys.stderr,
+        )
+
+    print("# falling back to CPU measurement (TPU tunnel wedged)", file=sys.stderr)
+    out = run(
+        {
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "BENCH_METRIC_SUFFIX": "_cpufallback",
+        },
+        deadline * 2,
+    )
+    if out:
+        sys.stdout.write(out)
+    else:
+        sys.exit("bench: TPU wedged and CPU fallback failed")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        orchestrate()

@@ -38,6 +38,7 @@ MODULES = [
     ("torchpme_tpu.utils.neighbors", "Host neighbor lists, distances"),
     ("torchpme_tpu.utils.validation", "Input validation"),
     ("torchpme_tpu.deploy", "jax.export serialization"),
+    ("torchpme_tpu.interop.torch_bridge", "PyTorch autograd bridge"),
     ("torchpme_tpu.prefactors", "Unit-system prefactors"),
 ]
 
