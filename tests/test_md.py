@@ -268,3 +268,101 @@ def test_energy_rows_accepts_plain_callable(system):
         lambda r: cell_list_rspace_energy_rows(v, charges, r, cell, fp.clist)
     )(rows)
     assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------------------
+# MDFastPathEwald: the explicit-k-sum counterpart of the mesh fast path
+# ---------------------------------------------------------------------------
+
+EWALD_CUTOFF = 2.5
+
+
+def _ewald_calc():
+    return tpme.EwaldCalculator(
+        tpme.CoulombPotential(smearing=1.0), lr_wavelength=2.0
+    )
+
+
+def test_md_fastpath_ewald_matches_energy_path(system):
+    charges, cell, positions = system
+    calc = _ewald_calc()
+    fp = tpme.MDFastPathEwald.create(calc, positions, cell, EWALD_CUTOFF)
+    rows = fp.bucket(positions)
+    clist = compute_cell_list(positions, cell, EWALD_CUTOFF)
+
+    def f_rows(q, c, r):
+        return fp.energy(q, c, r)
+
+    def f_ref(q, c, p):
+        return calc.energy(
+            q, c, p, cell_list=clist, ns_kvectors=fp.ns_kvectors
+        )
+
+    e_rows = jax.jit(f_rows)(charges, cell, rows)
+    e_ref = f_ref(charges, cell, positions)
+    np.testing.assert_allclose(float(e_rows), float(e_ref), rtol=1e-11)
+
+    g_rows = jax.jit(jax.grad(f_rows, argnums=(0, 1, 2)))(charges, cell, rows)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(charges, cell, positions)
+    np.testing.assert_allclose(
+        np.asarray(g_rows[0]), np.asarray(g_ref[0]), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_rows[1]), np.asarray(g_ref[1]), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(fp.unbucket(g_rows[2])), np.asarray(g_ref[2]), atol=1e-11
+    )
+    # padded rows carry no force: q = 0 rows drop out of the structure factor
+    force_norms = jnp.linalg.norm(g_rows[2], axis=-1)
+    occupied = jnp.zeros(fp.n_rows, bool).at[fp.row_of_atom].set(True)
+    np.testing.assert_allclose(
+        np.asarray(force_norms[~occupied]), 0.0, atol=1e-12
+    )
+
+
+def test_md_fastpath_ewald_spill_extras(system):
+    charges, cell, positions = system
+    rng = np.random.default_rng(9)
+    cluster = 0.5 + 0.3 * jnp.asarray(rng.uniform(size=(40, 3)))
+    positions2 = jnp.concatenate([positions, cluster])
+    charges2 = jnp.concatenate([charges, jnp.ones((40, 1))])
+    charges2 = charges2 - charges2.mean()
+    calc = _ewald_calc()
+    fp = tpme.MDFastPathEwald.create(
+        calc, positions2, cell, EWALD_CUTOFF, cell_capacity=16, _spill=True
+    )
+    assert fp.clist.extra_index is not None, "test system did not spill"
+    rows = fp.bucket(positions2)
+    clist = compute_cell_list(positions2, cell, EWALD_CUTOFF)
+    e_rows = jax.jit(fp.energy)(charges2, cell, rows)
+    e_ref = calc.energy(
+        charges2, cell, positions2, cell_list=clist, ns_kvectors=fp.ns_kvectors
+    )
+    np.testing.assert_allclose(float(e_rows), float(e_ref), rtol=1e-11)
+
+
+def test_md_fastpath_ewald_stale_rows_poison(system):
+    charges, cell, positions = system
+    fp = tpme.MDFastPathEwald.create(
+        _ewald_calc(), positions, cell, EWALD_CUTOFF
+    )
+    rows = fp.bucket(positions)
+    drifted = rows.at[int(fp.row_of_atom[0]), 0].add(float(cell[0, 0]) / 2)
+    e = jax.jit(fp.energy)(charges, cell, drifted)
+    assert bool(jnp.isnan(e)), "stale rows not detected"
+    fp2 = fp.rebucket(drifted, cell)
+    assert fp2.n_rows == fp.n_rows
+    assert fp2.clist.slot_mask.shape == fp.clist.slot_mask.shape
+    rows2 = fp2.bucket(fp.unbucket(drifted))
+    assert bool(jnp.isfinite(jax.jit(fp2.energy)(charges, cell, rows2)))
+
+
+def test_md_fastpath_ewald_rejects_mesh_calculator(system):
+    charges, cell, positions = system
+    with pytest.raises(ValueError, match="EwaldCalculator"):
+        tpme.MDFastPathEwald.create(_calc(), positions, cell, EWALD_CUTOFF)
+    with pytest.raises(ValueError, match="window_impl"):
+        tpme.MDFastPathEwald.create(
+            _ewald_calc(), positions, cell, EWALD_CUTOFF, window_impl="bogus"
+        )

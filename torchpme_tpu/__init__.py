@@ -18,7 +18,7 @@ from .calculators import (
     PMECalculator,
     PMECalculatorDipole,
 )
-from .md import MDFastPath, MDFastPathDipole
+from .md import MDFastPath, MDFastPathDipole, MDFastPathEwald
 from .potentials import (
     CombinedPotential,
     CoulombPotential,
@@ -43,4 +43,5 @@ __all__ = [
     "PMECalculatorDipole",
     "MDFastPath",
     "MDFastPathDipole",
+    "MDFastPathEwald",
 ]

@@ -44,13 +44,54 @@ from .ops.rspace_cells import (
     compute_cell_list,
 )
 
-__all__ = ["MDFastPath", "MDFastPathDipole"]
+__all__ = ["MDFastPath", "MDFastPathDipole", "MDFastPathEwald"]
 
 
 # Auto-policy for the real-space window engine on TPU.  "xla" keeps the
 # roll/matmul window; flip to "pallas" once the fused VMEM pair kernel
 # (ops/pallas/window_pallas.py) measures faster on hardware.
 _WINDOW_AUTO_TPU = "xla"
+
+
+def _resolve_window_impl(
+    potential, cutoff: float, window_impl: str, *, dipole: bool = False
+) -> str:
+    """Resolve the ``window_impl`` argument shared by every fast-path class:
+    ``"auto"`` follows the measured TPU policy (:data:`_WINDOW_AUTO_TPU`) and
+    requires the potential's analytic + kernel hooks; anything else must be
+    one of the two engines."""
+    if window_impl == "auto":
+        if dipole:
+            from .ops.pallas.window_dipole_pallas import (
+                can_use_pallas_dipole_window as _can_kernel,
+            )
+            from .ops.rspace_cells_dipole import (
+                _can_use_analytic_dipole as _can_analytic,
+            )
+        else:
+            from .ops.pallas.window_pallas import (
+                can_use_pallas_window as _can_kernel,
+            )
+            from .ops.rspace_cells import (
+                _can_use_analytic_derivative as _can_analytic,
+            )
+
+        return (
+            "pallas"
+            if (
+                _WINDOW_AUTO_TPU == "pallas"
+                and jax.default_backend() == "tpu"
+                and _can_analytic(potential)
+                and _can_kernel(potential, cutoff)
+            )
+            else "xla"
+        )
+    if window_impl not in ("xla", "pallas"):
+        raise ValueError(
+            f"`window_impl` is {window_impl!r} but must be 'auto', "
+            "'xla' or 'pallas'"
+        )
+    return window_impl
 
 
 def _row_mapping(clist: CellList, n_atoms: int) -> tuple[np.ndarray, int]:
@@ -197,27 +238,7 @@ class MDFastPath:
                 f"`mesh_impl` is {mesh_impl!r} but must be 'auto', 'tiled', "
                 "'fused' or 'aligned'"
             )
-        if window_impl == "auto":
-            import jax as _jax
-
-            from .ops.rspace_cells import _can_use_analytic_derivative
-            from .ops.pallas.window_pallas import can_use_pallas_window
-
-            window_impl = (
-                "pallas"
-                if (
-                    _WINDOW_AUTO_TPU == "pallas"
-                    and _jax.default_backend() == "tpu"
-                    and _can_use_analytic_derivative(calc.potential)
-                    and can_use_pallas_window(calc.potential, cutoff)
-                )
-                else "xla"
-            )
-        if window_impl not in ("xla", "pallas"):
-            raise ValueError(
-                f"`window_impl` is {window_impl!r} but must be 'auto', "
-                "'xla' or 'pallas'"
-            )
+        window_impl = _resolve_window_impl(calc.potential, cutoff, window_impl)
         if (
             mesh_impl == "fused"
             and tile_capacity is not None
@@ -474,29 +495,9 @@ class MDFastPathDipole:
             needs a kernel-ready ``window_scalar_math``), or ``"auto"``
             (the measured-winner policy, shared with :class:`MDFastPath`).
         """
-        if window_impl == "auto":
-            import jax as _jax
-
-            from .ops.pallas.window_dipole_pallas import (
-                can_use_pallas_dipole_window,
-            )
-            from .ops.rspace_cells_dipole import _can_use_analytic_dipole
-
-            window_impl = (
-                "pallas"
-                if (
-                    _WINDOW_AUTO_TPU == "pallas"
-                    and _jax.default_backend() == "tpu"
-                    and _can_use_analytic_dipole(calc.potential)
-                    and can_use_pallas_dipole_window(calc.potential, cutoff)
-                )
-                else "xla"
-            )
-        if window_impl not in ("xla", "pallas"):
-            raise ValueError(
-                f"`window_impl` is {window_impl!r} but must be 'auto', "
-                "'xla' or 'pallas'"
-            )
+        window_impl = _resolve_window_impl(
+            calc.potential, cutoff, window_impl, dipole=True
+        )
         clist = compute_cell_list(
             positions, cell, cutoff, capacity=cell_capacity, spill=_spill
         )
@@ -564,3 +565,142 @@ class MDFastPathDipole:
             mu_rows, cell, pos_rows, ns_kvectors=self.ns_kvectors
         )
         return e_sr + jnp.sum(pot_rows * mu_rows)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MDFastPathEwald:
+    r"""Bucket-order MD state for the explicit-k-sum Ewald calculator —
+    the :math:`O(N^2)` counterpart of :class:`MDFastPath` for the small/
+    medium systems where Ewald beats the mesh methods.
+
+    The real-space sum runs through the monopole cell-list window engine in
+    row layout (no per-step gather or force scatter); the k-space term is
+    the structure-factor quadratic form
+    :math:`\tfrac1V\sum_k \hat v(k)\,|S(k)|^2`
+    (:meth:`EwaldCalculator._compute_kspace_energy`) evaluated directly on
+    the rows — every term is charge-weighted, so padded rows (with
+    :math:`q = 0`) contribute nothing to the energy or any gradient.
+    Unlike the mesh fast path there is no interpolation-tile state: only
+    the real-space window NaN-poisons on stale rows.  No reference
+    counterpart (the reference has no MD driver; its Ewald path is
+    ``/root/reference/src/torchpme/calculators/ewald.py``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> import torchpme_tpu as tpme
+    >>> rng = np.random.default_rng(0)
+    >>> positions = jnp.asarray(rng.uniform(0, 8.0, (100, 3)))
+    >>> charges = jnp.asarray(np.tile([1.0, -1.0], 50).reshape(-1, 1))
+    >>> cell = jnp.eye(3) * 8.0
+    >>> calc = tpme.EwaldCalculator(
+    ...     tpme.CoulombPotential(smearing=1.0), lr_wavelength=2.0
+    ... )
+    >>> fp = tpme.MDFastPathEwald.create(calc, positions, cell, cutoff=2.5)
+    >>> rows = fp.bucket(positions)
+    >>> e, forces = jax.value_and_grad(fp.energy, argnums=2)(
+    ...     charges, cell, rows
+    ... )
+    >>> clist = tpme.ops.compute_cell_list(
+    ...     positions, cell, 2.5, capacity=fp.clist.slot_mask.shape[1],
+    ...     spill=False,
+    ... )
+    >>> e_ref = calc.energy(charges, cell, positions, cell_list=clist,
+    ...                     ns_kvectors=fp.ns_kvectors)
+    >>> print(bool(jnp.allclose(e, e_ref, rtol=1e-10)))
+    True
+    """
+
+    calc: object  # EwaldCalculator (pytree dataclass)
+    clist: CellList
+    row_of_atom: Array  # (N,) int32
+    ns_kvectors: tuple[int, int, int] = field(metadata=dict(static=True))
+    n_rows: int = field(metadata=dict(static=True))
+    n_atoms: int = field(metadata=dict(static=True))
+    window_impl: str = field(metadata=dict(static=True), default="xla")
+
+    @classmethod
+    def create(
+        cls,
+        calc,
+        positions,
+        cell,
+        cutoff: float,
+        cell_capacity: int | None = None,
+        window_impl: str = "auto",
+        _spill: bool | None = None,
+    ) -> "MDFastPathEwald":
+        """Bucket ``positions`` for the Ewald ``calc`` (host-side, eager).
+
+        Same contract as :meth:`MDFastPath.create` minus the mesh arguments:
+        the k-space extents come from ``calc.get_ns_kvectors(cell)`` so the
+        k-vectors are rebuilt from the traced cell inside the step (exact
+        stress under ``jit``).
+        """
+        if not hasattr(calc, "get_ns_kvectors"):
+            raise ValueError(
+                "MDFastPathEwald needs an EwaldCalculator (mesh calculators "
+                "use MDFastPath)"
+            )
+        window_impl = _resolve_window_impl(calc.potential, cutoff, window_impl)
+        clist = compute_cell_list(
+            positions, cell, cutoff, capacity=cell_capacity, spill=_spill
+        )
+        n_atoms = int(np.asarray(positions).shape[0])
+        row_of_atom, n_rows = _row_mapping(clist, n_atoms)
+        return cls(
+            calc=calc,
+            clist=clist,
+            row_of_atom=jnp.asarray(row_of_atom),
+            ns_kvectors=calc.get_ns_kvectors(cell),
+            n_rows=n_rows,
+            n_atoms=n_atoms,
+            window_impl=window_impl,
+        )
+
+    def bucket(self, positions: Array) -> Array:
+        """Atom-order ``(N, 3)`` → bucket rows ``(n_rows, 3)`` (one gather)."""
+        rows = jnp.zeros((self.n_rows, 3), jnp.asarray(positions).dtype)
+        return rows.at[self.row_of_atom].set(positions)
+
+    def unbucket(self, rows: Array) -> Array:
+        """Bucket rows back to atom order (one gather)."""
+        return rows[self.row_of_atom]
+
+    def rebucket(self, pos_rows: Array, cell: Array, cutoff=None) -> "MDFastPathEwald":
+        """Rebuild the bucketing from drifted rows (like a NL refresh)."""
+        positions = self.unbucket(pos_rows)
+        return type(self).create(
+            self.calc,
+            positions,
+            cell,
+            cutoff if cutoff is not None else self.clist.cutoff,
+            cell_capacity=self.clist.slot_mask.shape[1],
+            window_impl=self.window_impl,
+            _spill=self.clist.extra_index is not None,
+        )
+
+    def energy(self, charges: Array, cell: Array, pos_rows: Array) -> Array:
+        r"""Total energy :math:`\sum_i q_i V_i` from bucket rows; ``jax.grad``
+        w.r.t. ``pos_rows`` gives minus the forces in row layout with no
+        bucket scatter.  NaN when the cell-list bucketing is stale."""
+        e_sr = cell_list_rspace_energy_rows(
+            self.calc.potential,
+            charges,
+            pos_rows,
+            cell,
+            self.clist,
+            window_impl=self.window_impl,
+        )
+        dtype = pos_rows.dtype
+        # charge rows (position-independent: hoisted out of MD loops whose
+        # charges are constant); padded rows get q = 0 and drop out of every
+        # k-space term, including the structure factor and its gradients
+        q_rows = jnp.zeros((self.n_rows, charges.shape[-1]), dtype).at[
+            self.row_of_atom
+        ].set(charges.astype(dtype))
+        e_k = self.calc._compute_kspace_energy(
+            q_rows, cell, pos_rows, ns_kvectors=self.ns_kvectors
+        )
+        return e_sr + e_k
