@@ -166,7 +166,10 @@ def _dipole_window_kernel(
                 + jnp.sum(ct_ri * pc_c[c][:, :, None], axis=1)
             )
 
-    e_ref[0, 0] = e_acc
+    # Mosaic only accepts SMEM output blocks whose dims equal the array dims,
+    # so the per-block energies share one (nb, 1) SMEM buffer: every grid step
+    # maps to the same block and writes its own slot.
+    e_ref[pl.program_id(0), 0] = e_acc
     for c in range(3):
         dpc_ref[:, c, :] = dpc[c]
         dmui_ref[:, c, :] = dmui[c]
@@ -237,7 +240,7 @@ def _run_dipole_window_kernel(
             pl.BlockSpec((G, cap, W), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 3, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 3, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(

@@ -206,7 +206,10 @@ def _window_kernel(
             dpc[c] = dpc[c] + pc_c[c] * rowsum - cross_i
             dpj_ref[g, :, c, :] = pj_c[c] * colsum - cross_j
 
-    e_ref[0, 0] = e_acc
+    # Mosaic only accepts SMEM output blocks whose dims equal the array dims,
+    # so the per-block energies share one (nb, 1) SMEM buffer: every grid step
+    # maps to the same block and writes its own slot.
+    e_ref[pl.program_id(0), 0] = e_acc
     for c in range(3):
         dpc_ref[:, c, :] = dpc[c]
     for c in range(n_channels):
@@ -275,7 +278,7 @@ def _run_window_kernel(pair_math, cutoff, pc_t, q_g, mf_g, offs, chunks, qi_g):
             pl.BlockSpec((G, cap, W), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 3, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (B, n_channels, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
