@@ -47,17 +47,23 @@ from .ops.rspace_cells import (
 __all__ = ["MDFastPath", "MDFastPathDipole", "MDFastPathEwald"]
 
 
-# Auto-policy for the real-space window engine on TPU.  "xla" keeps the
-# roll/matmul window; flip to "pallas" once the fused VMEM pair kernel
-# (ops/pallas/window_pallas.py) measures faster on hardware.
+# Auto-policy for the real-space window engine on TPU, per kernel family
+# (v5e, 102k atoms, 2026-08-18, tools/profile_window*.py).  Monopole: the
+# fused VMEM pair kernel loses to the roll/matmul window (rspace rows
+# value+grad 8.36 vs 7.20 ms) — VPU-bound candidate arithmetic, so removing
+# the HBM round trips doesn't pay.  Dipole: the fused kernel WINS 16.42 vs
+# 29.52 ms (the XLA engine materializes ~26 candidate planes per offset
+# chunk; keeping them in VMEM halves the pass).
 _WINDOW_AUTO_TPU = "xla"
+_WINDOW_AUTO_TPU_DIPOLE = "pallas"
 
 
 def _resolve_window_impl(
     potential, cutoff: float, window_impl: str, *, dipole: bool = False
 ) -> str:
     """Resolve the ``window_impl`` argument shared by every fast-path class:
-    ``"auto"`` follows the measured TPU policy (:data:`_WINDOW_AUTO_TPU`) and
+    ``"auto"`` follows the measured per-family TPU policy
+    (:data:`_WINDOW_AUTO_TPU` / :data:`_WINDOW_AUTO_TPU_DIPOLE`) and
     requires the potential's analytic + kernel hooks; anything else must be
     one of the two engines."""
     if window_impl == "auto":
@@ -76,10 +82,11 @@ def _resolve_window_impl(
                 _can_use_analytic_derivative as _can_analytic,
             )
 
+        policy = _WINDOW_AUTO_TPU_DIPOLE if dipole else _WINDOW_AUTO_TPU
         return (
             "pallas"
             if (
-                _WINDOW_AUTO_TPU == "pallas"
+                policy == "pallas"
                 and jax.default_backend() == "tpu"
                 and _can_analytic(potential)
                 and _can_kernel(potential, cutoff)
