@@ -40,10 +40,10 @@ step = jax.jit(jax.value_and_grad(fp.energy, argnums=2))
 E, force_rows = step(dipoles, cell, rows)
 forces = -fp.unbucket(force_rows)
 
-# cross-check against the O(N·n_k) Ewald dipolar calculator
-clist = compute_cell_list(
-    positions, cell, cutoff, capacity=fp.clist.slot_mask.shape[1], spill=False
-)
+# cross-check against the O(N·n_k) Ewald dipolar calculator (default
+# cost-model capacity + spill — the fast path's spill-mode capacity is a
+# *tight* per-cell bound and must not be reused as a no-spill capacity)
+clist = compute_cell_list(positions, cell, cutoff)
 E_ew = ewald.energy(
     dipoles, cell, positions, cell_list=clist,
     ns_kvectors=ewald.get_ns_kvectors(cell),

@@ -66,6 +66,20 @@ from ..calculators.dipole import CalculatorDipole
 __all__ = ["TorchCalculator", "TorchCalculatorDipole", "jax2torch"]
 
 
+def _promote_floats(*tensors: "torch.Tensor") -> tuple["torch.Tensor", ...]:
+    """Coerce mixed float dtypes to one common dtype at the boundary.
+
+    Torch users habitually mix ``torch.eye(3)`` (float32) with float64
+    positions; the JAX side validates a single dtype across all float
+    inputs, so promote here (``.to`` is differentiable — grads flow back
+    to the original tensors in their own dtype).
+    """
+    dtype = tensors[0].dtype
+    for t in tensors[1:]:
+        dtype = torch.promote_types(dtype, t.dtype)
+    return tuple(t.to(dtype) for t in tensors)
+
+
 def _t2j(t: "torch.Tensor") -> jax.Array:
     if t.dtype == torch.float64 and not jax.config.jax_enable_x64:
         raise ValueError(
@@ -192,6 +206,9 @@ class TorchCalculator(torch.nn.Module):
         neighbor_distances: "torch.Tensor",
     ) -> "torch.Tensor":
         idx = jnp.asarray(neighbor_indices.detach().cpu().numpy())
+        charges, cell, positions, neighbor_distances = _promote_floats(
+            charges, cell, positions, neighbor_distances
+        )
         return _Bridge.apply(
             self._jfwd,
             self._jvjp,
@@ -241,6 +258,9 @@ class TorchCalculatorDipole(torch.nn.Module):
                 self.calc.get_ns_kvectors(cell.detach().cpu().numpy())
             )
         idx = jnp.asarray(neighbor_indices.detach().cpu().numpy())
+        dipoles, cell, positions, neighbor_vectors = _promote_floats(
+            dipoles, cell, positions, neighbor_vectors
+        )
         return _Bridge.apply(
             self._jfwd,
             self._jvjp,
