@@ -48,9 +48,12 @@ N_WARMUP = 2
 N_REPEAT = 10
 
 
-def build_system(n_atoms: int, seed: int = 0):
-    from torchpme_tpu.utils.neighbors import neighbor_list
-
+def build_system(n_atoms: int, seed: int = 0, neighbors: bool = True):
+    """Random water-density box.  The O(N) neighbor list build costs minutes
+    of host time at 100k+ atoms and is only needed by the torch-pme CPU
+    baseline (our fast path builds its own cell list) — pass
+    ``neighbors=False`` to skip it (``idx``/``dist``/``shifts`` come back
+    ``None``)."""
     rng = np.random.default_rng(seed)
     box = float((n_atoms / 0.1) ** (1 / 3))  # water number density
     positions = rng.uniform(0.0, box, (n_atoms, 3))
@@ -58,7 +61,11 @@ def build_system(n_atoms: int, seed: int = 0):
     base -= base.mean()
     charges = base.reshape(-1, 1)
     cell = np.eye(3) * box
-    idx, dist, shifts = neighbor_list(positions, cell, cutoff=CUTOFF)
+    idx = dist = shifts = None
+    if neighbors:
+        from torchpme_tpu.utils.neighbors import neighbor_list
+
+        idx, dist, shifts = neighbor_list(positions, cell, cutoff=CUTOFF)
     return positions, charges, cell, idx, dist, shifts, box
 
 
@@ -261,10 +268,21 @@ def bench_reference_cpu(
 
 
 def main():
-    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
+    # the neighbor list is only consumed by the torch-pme CPU baseline;
+    # skip the minutes-long host build when the baseline is cached/skipped
+    # (it also kept the device-alive heartbeat from appearing within the
+    # watchdog's probe window, burning a whole bench attempt per run)
+    need_nl = os.environ.get("BENCH_SKIP_BASELINE") != "1"
+    if need_nl and BASELINE_CACHE.exists():
+        cached = json.loads(BASELINE_CACHE.read_text())
+        need_nl = f"torchpme_cpu_pme_mdstep_n{N_ATOMS}" not in cached
+    positions, charges, cell, idx, dist, shifts, box = build_system(
+        N_ATOMS, neighbors=need_nl
+    )
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
+    pairs = "cached-baseline" if idx is None else idx.shape[0]
     print(
-        f"# N={N_ATOMS} box={box:.1f}A pairs={idx.shape[0]} smearing={smearing:.3f} "
+        f"# N={N_ATOMS} box={box:.1f}A pairs={pairs} smearing={smearing:.3f} "
         f"nodes={nodes} spacing={spacing:.3f} err_bound={err:.2e}",
         file=sys.stderr,
     )

@@ -57,7 +57,7 @@ def main():
     from torchpme_tpu.ops.rspace_cells import cell_list_rspace_energy_rows
 
     print(f"device={jax.devices()[0]} N={N_ATOMS}")
-    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS, neighbors=False)
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
 
     dtype = jnp.float32

@@ -50,7 +50,7 @@ def main():
     )
 
     print(f"device={jax.devices()[0]} N={N_ATOMS}")
-    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS, neighbors=False)
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
 
     dtype = jnp.float32
@@ -161,7 +161,7 @@ def profile_quadratic():
         tiled_points_to_mesh,
     )
 
-    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS, neighbors=False)
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
     dtype = jnp.float32
     q = jnp.asarray(charges, dtype)

@@ -50,7 +50,7 @@ def main():
     )
 
     print(f"device={jax.devices()[0]} N={N_ATOMS}")
-    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS, neighbors=False)
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
 
     dtype = jnp.float32
@@ -64,7 +64,7 @@ def main():
     occ = int(np.asarray(clist.slot_mask).sum())
     print(
         f"cells={clist.n_axis} n_cells={n_cells} cap={cap} "
-        f"occupancy={occ / (n_cells * cap):.2f} pairs={idx.shape[0]}"
+        f"occupancy={occ / (n_cells * cap):.2f}"
     )
 
     def chain(body, init):

@@ -55,7 +55,7 @@ def main():
     )
 
     print(f"device={jax.devices()[0]} N={N_ATOMS}", flush=True)
-    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS)
+    positions, charges, cell, idx, dist, shifts, box = build_system(N_ATOMS, neighbors=False)
     smearing, nodes, spacing, err = choose_parameters(charges, cell, positions)
     rng = np.random.default_rng(0)
 

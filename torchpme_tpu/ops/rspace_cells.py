@@ -246,6 +246,37 @@ def _potential_pair_values(potential, dist):
     return potential.sr_from_dist(dist)
 
 
+def _pair_values_maybe_analytic(potential, d):
+    """``_potential_pair_values`` with an analytic-derivative VJP when the
+    potential allows it (:func:`_can_use_analytic_derivative`).
+
+    The extras (spill side-list) passes ride plain autodiff, and the VJP of
+    the bare pair values replays the whole erfc/exp chain per candidate slot —
+    measured ~8× the per-candidate cost of the fused window on a v5e, which
+    made :func:`_choose_capacity` avoid tight capacities.  With the
+    potential's ``sr_derivative`` hook the backward is one multiply against
+    the saved forward value, so spilling becomes cheap enough that the cost
+    model can pick the window-optimal capacity."""
+    if not _can_use_analytic_derivative(potential):
+        return _potential_pair_values(potential, d)
+    deriv = potential.sr_derivative
+
+    @jax.custom_vjp
+    def pv(d):
+        return potential.sr_from_dist(d)
+
+    def pv_fwd(d):
+        v = potential.sr_from_dist(d)
+        return v, (d, v)
+
+    def pv_bwd(res, v_bar):
+        d, v = res
+        return (v_bar * deriv(d, v),)
+
+    pv.defvjp(pv_fwd, pv_bwd)
+    return pv(d)
+
+
 def _half_window_chunks(cap: int):
     """Lexicographic half-window offsets (+ the self cell, last), grouped into
     chunks whose concatenated trailing axis is ≥ 128 wide: TPU vector
@@ -440,7 +471,7 @@ def _extras_potentials(pot_obj, pc_t, q_g, mf_g, pe, pe_abs, qe, clist, cell):
     )  # (E, 27·cap)
     ok_em = (d2 < cut2) & (rows_m > 0.5) & clist.extra_mask[:, None]
     d_em = jnp.sqrt(jnp.where(ok_em, d2, 1.0))
-    v_em = jnp.where(ok_em, _potential_pair_values(pot_obj, d_em), 0.0)
+    v_em = jnp.where(ok_em, _pair_values_maybe_analytic(pot_obj, d_em), 0.0)
     v_em = v_em.reshape(e_pad, 27, cap)
 
     # extra ↔ extra: fractional minimum image, one (E, E) plane per axis
@@ -457,7 +488,7 @@ def _extras_potentials(pot_obj, pc_t, q_g, mf_g, pe, pe_abs, qe, clist, cell):
     m_ee = clist.extra_mask[:, None] & clist.extra_mask[None, :]
     ok_ee = (d2e < cut2) & m_ee & ~jnp.eye(e_pad, dtype=bool)
     d_ee = jnp.sqrt(jnp.where(ok_ee, d2e, 1.0))
-    v_ee = jnp.where(ok_ee, _potential_pair_values(pot_obj, d_ee), 0.0)
+    v_ee = jnp.where(ok_ee, _pair_values_maybe_analytic(pot_obj, d_ee), 0.0)
     return v_em, rows_q, ids, v_ee
 
 
