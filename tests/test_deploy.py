@@ -86,6 +86,62 @@ def test_export_shape_mismatch_raises(system):
         restored(charges[:-2], cell, positions[:-2], dist)
 
 
+def test_export_cross_process(system, tmp_path):
+    """The artifact must run in a process that CANNOT import torchpme_tpu.
+
+    In-process round-trips share the exporting process's registered custom
+    calls, which once masked a real deployment crash: ``jnp.linalg.inv``'s
+    LU custom call segfaulted on deserialize in a fresh interpreter (hence
+    :func:`torchpme_tpu.ops.math.inv3` everywhere in the compute path).
+    """
+    import subprocess
+    import sys
+
+    positions, charges, cell, _, _ = system
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.45
+    )
+    ns = calc.get_ns_mesh(cell)
+    fp = tpme.MDFastPath.create(calc, positions, cell, 3.0, ns)
+    rows = fp.bucket(positions)
+
+    def energy(r):
+        return fp.energy(charges, cell, r)
+
+    blob = export_step(energy, rows, with_grad=0)
+    (tmp_path / "step.bin").write_bytes(blob)
+    np.save(tmp_path / "rows.npy", np.asarray(rows))
+    e_ref, g_ref = jax.value_and_grad(energy)(rows)
+    engine = (
+        "import sys, importlib.abc\n"
+        "class Ban(importlib.abc.MetaPathFinder):\n"
+        "    def find_spec(self, fullname, path=None, target=None):\n"
+        "        if fullname.split('.')[0] == 'torchpme_tpu':\n"
+        "            raise ImportError('banned at deployment')\n"
+        "        return None\n"
+        "sys.meta_path.insert(0, Ban())\n"
+        "import jax, numpy as np\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "step = jax.jit(jax.export.deserialize("
+        "open(sys.argv[1] + '/step.bin', 'rb').read()).call)\n"
+        "e, g = step(np.load(sys.argv[1] + '/rows.npy'))\n"
+        "print(repr(float(e)))\n"
+        "np.save(sys.argv[1] + '/g.npy', np.asarray(g))\n"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", engine, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert float(result.stdout.strip()) == pytest.approx(float(e_ref), rel=1e-13)
+    np.testing.assert_allclose(
+        np.load(tmp_path / "g.npy"), np.asarray(g_ref), atol=1e-12
+    )
+
+
 def test_export_multi_platform(system):
     """Cross-platform lowering: a CPU host can build a cpu+tpu artifact."""
     positions, charges, cell, idx, dist = system

@@ -14,6 +14,8 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.math import inv3
 from jax import Array
 
 from ..ops.kspace import (
@@ -178,7 +180,7 @@ class PMECalculator(Calculator):
                     rho_mesh, mesh_valid = fused_tiled_density(
                         tiled_interp,
                         positions,
-                        jnp.linalg.inv(cell),
+                        inv3(cell),
                         charges,
                         self._method,
                     )
@@ -204,7 +206,7 @@ class PMECalculator(Calculator):
                 # geometry from the current positions — differentiable, and
                 # ~15 ms/step cheaper than rebucketing at 100k atoms.
                 interp, mesh_valid = refresh_tiled_interpolation(
-                    tiled_interp, positions, jnp.linalg.inv(cell), self._method
+                    tiled_interp, positions, inv3(cell), self._method
                 )
                 # eager-mode safety net: fail loudly on stale buckets
                 if not isinstance(mesh_valid, _core.Tracer) and not bool(
@@ -220,7 +222,7 @@ class PMECalculator(Calculator):
             else:
                 interp = compute_tiled_interpolation(
                     positions,
-                    jnp.linalg.inv(cell),
+                    inv3(cell),
                     ns_mesh,
                     self.interpolation_nodes,
                     self._method,
@@ -239,7 +241,7 @@ class PMECalculator(Calculator):
         else:
             interp = compute_interpolation(
                 positions,
-                jnp.linalg.inv(cell),
+                inv3(cell),
                 ns_mesh,
                 self.interpolation_nodes,
                 self._method,

@@ -31,6 +31,8 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.math import inv3
 from jax import Array
 
 from ..ops.kspace import (
@@ -176,7 +178,7 @@ class PMECalculatorDipole(CalculatorDipole):
         dtype = positions.dtype
         interp = compute_dipole_interpolation(
             positions,
-            jnp.linalg.inv(cell),
+            inv3(cell),
             ns,
             self.interpolation_nodes,
             self._method,

@@ -34,6 +34,8 @@ from dataclasses import dataclass, field, replace
 
 import jax
 import jax.numpy as jnp
+
+from .ops.math import inv3
 import numpy as np
 from jax import Array
 
@@ -291,7 +293,7 @@ class MDFastPath:
             cell_grid = None
             tiled = compute_tiled_interpolation(
                 jnp.asarray(positions),
-                jnp.linalg.inv(jnp.asarray(cell)),
+                inv3(jnp.asarray(cell)),
                 ns_mesh,
                 calc.interpolation_nodes,
                 calc._method,
@@ -405,7 +407,7 @@ class MDFastPath:
             rho = aligned_tiled_density(
                 pos_rows,
                 q_rows,
-                jnp.linalg.inv(cell),
+                inv3(cell),
                 self.ns_mesh,
                 self.calc.interpolation_nodes,
                 self.calc._method,

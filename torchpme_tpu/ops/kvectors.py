@@ -12,6 +12,8 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+
+from .math import inv3
 import numpy as np
 from jax import Array
 
@@ -85,7 +87,7 @@ def _generate_kvectors(cell: Array, ns: tuple[int, int, int], last_real: bool) -
     if cell.shape != (3, 3):
         raise ValueError(f"cell of shape {list(cell.shape)} should be of shape (3, 3)")
 
-    reciprocal = 2 * jnp.pi * jnp.linalg.inv(cell).T
+    reciprocal = 2 * jnp.pi * inv3(cell).T
     kx = _fft_integer_freqs(ns[0], cell.dtype, real=False)[:, None] * reciprocal[0]
     ky = _fft_integer_freqs(ns[1], cell.dtype, real=False)[:, None] * reciprocal[1]
     kz = _fft_integer_freqs(ns[2], cell.dtype, real=last_real)[:, None] * reciprocal[2]

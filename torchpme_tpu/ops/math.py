@@ -14,7 +14,33 @@ import jax.numpy as jnp
 from jax import Array
 from jax.scipy import special as _jsp
 
-__all__ = ["gamma", "exp1", "gammaincc_over_powerlaw", "CustomExp1"]
+__all__ = ["gamma", "exp1", "gammaincc_over_powerlaw", "CustomExp1", "inv3"]
+
+
+def inv3(cell: Array) -> Array:
+    r"""Closed-form inverse of a 3×3 matrix (adjugate over determinant).
+
+    ``jnp.linalg.inv`` lowers to an LU-factorization custom call (LAPACK on
+    CPU) that (a) cannot ride :mod:`torchpme_tpu.deploy`'s ``jax.export``
+    round-trip into a fresh process (the deserialized custom call crashes on
+    current jaxlib) and (b) is a scalar library call on TPU.  Every cell
+    matrix in this library is 3×3, so the branch-free cofactor form is both
+    deployable and compiler-friendly; it is exact elementary arithmetic and
+    fully differentiable.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> m = jnp.asarray([[2.0, 0, 0], [1, 3, 0], [0, 1, 4]])
+    >>> print(bool(jnp.allclose(inv3(m) @ m, jnp.eye(3), atol=1e-12)))
+    True
+    """
+    r0, r1, r2 = cell[0], cell[1], cell[2]
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.dot(r0, c0)
+    return jnp.stack([c0, c1, c2], axis=-1) / det
 
 
 def gamma(x: Array) -> Array:

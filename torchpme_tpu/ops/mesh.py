@@ -28,6 +28,8 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+
+from .math import inv3
 import numpy as np
 from jax import Array
 
@@ -464,7 +466,7 @@ class MeshInterpolator:
                     f"cell of shape {list(cell.shape)} should be of shape (3, 3)"
                 )
             self.cell = cell
-            self.inverse_cell = jnp.linalg.inv(cell)
+            self.inverse_cell = inv3(cell)
         if ns_mesh is not None:
             ns_tuple = tuple(int(n) for n in np.asarray(ns_mesh).reshape(-1))
             if len(ns_tuple) != 3:

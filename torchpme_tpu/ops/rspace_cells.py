@@ -36,6 +36,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from .math import inv3
 import numpy as np
 from jax import Array, lax
 
@@ -370,7 +372,7 @@ def _prepare_bucketed(q_raw, pos_raw, cell, clist):
     # the compares run ≥cap lanes wide, and under stop_gradient: validity is
     # a boolean diagnostic, not part of the differentiable energy.
     pc_sg = lax.stop_gradient(pc_t)
-    inv_cell = jnp.linalg.inv(lax.stop_gradient(cell))
+    inv_cell = inv3(lax.stop_gradient(cell))
     frac_t = jnp.einsum(
         "fe,xyzfa->xyzea", inv_cell * n_axis[None, :], pc_sg, precision="highest"
     )
@@ -420,7 +422,7 @@ def _prepare_extras_bucketed(qe_raw, pe_raw, cell, clist):
     )
     pe = (pe_abs - centers) * mask[:, None].astype(dtype)  # park padded at 0
 
-    inv_cell = jnp.linalg.inv(lax.stop_gradient(cell))
+    inv_cell = inv3(lax.stop_gradient(cell))
     frac = (
         jnp.matmul(lax.stop_gradient(pe), inv_cell, precision="highest") * n_axis
     )
@@ -475,7 +477,7 @@ def _extras_potentials(pot_obj, pc_t, q_g, mf_g, pe, pe_abs, qe, clist, cell):
     v_em = v_em.reshape(e_pad, 27, cap)
 
     # extra ↔ extra: fractional minimum image, one (E, E) plane per axis
-    inv_cell = jnp.linalg.inv(cell)
+    inv_cell = inv3(cell)
     f = jnp.matmul(pe_abs, inv_cell, precision="highest")  # (E, 3)
     g = [None] * 3
     for c in range(3):

@@ -36,6 +36,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from .math import inv3
 from jax import Array
 
 from .rspace_cells import (
@@ -192,7 +194,7 @@ def _extras_dipole_energy(
     e_em = jnp.sum(okf * (b * mumu - c_ * ri * rj))
 
     # extra ↔ extra: fractional minimum image, (E, E) planes per axis
-    inv_cell = jnp.linalg.inv(cell)
+    inv_cell = inv3(cell)
     f = jnp.matmul(pe_abs, inv_cell, precision="highest")  # (E, 3)
     g = []
     for c in range(3):

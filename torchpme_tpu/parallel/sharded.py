@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.math import inv3
 import numpy as np
 from jax import Array, lax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -420,7 +422,7 @@ def sharded_mesh_potentials(
 
         pot_r = _rspace_partial(calc, charges_all, idx, dist, pmask, axis)
 
-        inverse_cell = jnp.linalg.inv(cell)
+        inverse_cell = inv3(cell)
         linear, weights, valid = _slab_stencil(
             pos_shard, mask, inverse_cell, ns_mesh, nodes, method,
             rank, block, halo,

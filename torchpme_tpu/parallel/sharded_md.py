@@ -38,6 +38,8 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.math import inv3
 import numpy as np
 from jax import Array, lax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -413,7 +415,7 @@ def _slab_grids(pos_b, q_b, mask_b, cell, n_axis, rank, n_dev):
 
     # staleness of the local slab (same tolerance as the single-chip path)
     pc_sg = lax.stop_gradient(pc_t)
-    inv_cell = jnp.linalg.inv(lax.stop_gradient(cell))
+    inv_cell = inv3(lax.stop_gradient(cell))
     frac_t = jnp.einsum(
         "fe,xyzfa->xyzea", inv_cell * n_axis_f[None, :], pc_sg,
         precision="highest",
@@ -546,7 +548,7 @@ def _slab_spread_from_slots(
     n_tiles, capacity = pos_slots.shape[:2]
     n_channels = q_slots.shape[-1]
     ty_count = ny // TILE
-    inverse_cell = jnp.linalg.inv(cell)
+    inverse_cell = inv3(cell)
     frac = jnp.einsum(
         "tka,ab->tkb", pos_slots, inverse_cell, precision="highest"
     )
@@ -632,7 +634,7 @@ def _slab_spread_dipole_from_slots(
     ext = mx + 2 * TILE
     n_tiles, capacity = pos_slots.shape[:2]
     ty_count = ny // TILE
-    inverse_cell = jnp.linalg.inv(cell)
+    inverse_cell = inv3(cell)
     frac = jnp.einsum(
         "tka,ab->tkb", pos_slots, inverse_cell, precision="highest"
     )
@@ -757,7 +759,7 @@ def _slab_aligned_density(
     extent, lpad = aligned_geometry(nodes)
 
     rel = jnp.matmul(
-        pos_b.reshape(-1, 3), jnp.linalg.inv(cell), precision="highest"
+        pos_b.reshape(-1, 3), inv3(cell), precision="highest"
     ) * jnp.asarray(ns_mesh, dtype)
     # rebase x onto the extended slab frame (interior at [TILE, TILE+mx));
     # integer shifts are exact in f32, keeping stencil-start decisions in
