@@ -62,3 +62,67 @@ def test_gammaincc_over_powerlaw_matches_scipy(exponent):
 def test_gammaincc_over_powerlaw_invalid_exponent():
     with pytest.raises(ValueError, match="Unsupported exponent"):
         gammaincc_over_powerlaw(7, jnp.asarray(1.0))
+
+
+@pytest.mark.parametrize("exponent", [1, 2, 3, 4, 5, 6])
+def test_gammainc_over_powerlaw_matches_scipy(exponent):
+    """Closed forms + small-z series must equal P(p/2, z) / z^{p/2}.
+
+    The elementary forms replace jax.scipy's while_loop-based gammainc
+    (which serializes TPU vector lanes — measured 215-375 ms per 102k-atom
+    pair window at p = 2..3); the series branch covers the cancellation
+    region z < 1/2 of the erf/expm1 differences."""
+    from torchpme_tpu.ops.math import gammainc_over_powerlaw
+
+    z = np.logspace(-14, 2, 200)
+    ours = np.asarray(gammainc_over_powerlaw(exponent, jnp.asarray(z)))
+    ref = scipy.special.gammainc(exponent / 2, z) / z ** (exponent / 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+def test_gammainc_over_powerlaw_gradients_finite():
+    from torchpme_tpu.ops.math import gammainc_over_powerlaw
+
+    for exponent in (1, 3, 5, 6):
+        for z in (1e-14, 0.3, 0.5, 0.5000001, 50.0):
+            g = float(
+                jax.grad(lambda x: gammainc_over_powerlaw(exponent, x))(
+                    jnp.asarray(z)
+                )
+            )
+            assert np.isfinite(g), (exponent, z, g)
+    # finite-difference spot check on both sides of the series/closed seam
+    for z in (0.3, 1.7):
+        g = float(
+            jax.grad(lambda x: gammainc_over_powerlaw(3, x))(jnp.asarray(z))
+        )
+        fd = float(
+            gammainc_over_powerlaw(3, jnp.asarray(z + 1e-7))
+            - gammainc_over_powerlaw(3, jnp.asarray(z - 1e-7))
+        ) / 2e-7
+        np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_gammainc_over_powerlaw_invalid_exponent():
+    from torchpme_tpu.ops.math import gammainc_over_powerlaw
+
+    with pytest.raises(ValueError, match="Unsupported exponent"):
+        gammainc_over_powerlaw(7, jnp.asarray(1.0))
+
+
+def test_inv3_matches_numpy():
+    from torchpme_tpu.ops.math import inv3
+
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        m = rng.normal(size=(3, 3)) + 3 * np.eye(3)  # well-conditioned
+        np.testing.assert_allclose(
+            np.asarray(inv3(jnp.asarray(m))), np.linalg.inv(m), rtol=1e-12
+        )
+    # differentiable: d(inv(M))/dM against the identity dA⁻¹ = -A⁻¹ dA A⁻¹
+    m = jnp.asarray(rng.normal(size=(3, 3)) + 3 * np.eye(3))
+    dm = jnp.asarray(rng.normal(size=(3, 3)))
+    got = jax.jvp(inv3, (m,), (dm,))[1]
+    inv = np.linalg.inv(np.asarray(m))
+    ref = -inv @ np.asarray(dm) @ inv
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-10)

@@ -182,37 +182,9 @@ def test_md_fastpath_fused_rejects_unaligned_tile_capacity(system):
         )
 
 
-def test_md_fastpath_pallas_window_matches_xla(system):
-    """window_impl='pallas' (fused VMEM pair kernel, interpret mode on CPU)
-    reproduces the XLA window engine's step to f32 accuracy."""
-    charges, cell, positions = system
-    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
-    q, c, p = f32(charges), f32(cell), f32(positions)
-    calc = _calc()
-    fps = {
-        impl: tpme.MDFastPath.create(
-            calc, p, c, CUTOFF, NS, window_impl=impl
-        )
-        for impl in ("xla", "pallas")
-    }
-    assert fps["pallas"].window_impl == "pallas"
-    out = {}
-    for impl, fp in fps.items():
-        rows = fp.bucket(p)
-        e, g = jax.jit(jax.value_and_grad(fp.energy, argnums=2))(q, c, rows)
-        out[impl] = (float(e), np.asarray(fp.unbucket(g)))
-    np.testing.assert_allclose(out["pallas"][0], out["xla"][0], rtol=2e-5)
-    scale = np.max(np.abs(out["xla"][1]))
-    np.testing.assert_allclose(
-        out["pallas"][1] / scale, out["xla"][1] / scale, atol=2e-5
-    )
-    # rebucket preserves the engine choice
-    assert fps["pallas"].rebucket(fps["pallas"].bucket(p), c).window_impl == "pallas"
-
-
-def test_md_fastpath_aligned_plus_pallas_window():
-    """The two Pallas engines compose: aligned mesh state (fused spread,
-    rows double as tile slots) + the VMEM pair-window kernel."""
+def test_md_fastpath_aligned_matches_tiled():
+    """The aligned mesh state (fused Pallas spread, rows double as tile
+    slots) reproduces the tiled state's step to f32 accuracy."""
     rng = np.random.default_rng(3)
     n, box, cutoff = 240, 14.0, 3.0
     cell = jnp.asarray(np.eye(3) * box, jnp.float32)
@@ -226,12 +198,9 @@ def test_md_fastpath_aligned_plus_pallas_window():
     )
     ns = (32, 32, 32)  # tile edge 14/(32/8) = 3.5 >= cutoff 3.0
     out = {}
-    for mesh_impl, window_impl in (
-        ("tiled", "xla"), ("aligned", "pallas")
-    ):
+    for mesh_impl in ("tiled", "aligned"):
         fp = tpme.MDFastPath.create(
-            calc, positions, cell, cutoff, ns,
-            mesh_impl=mesh_impl, window_impl=window_impl,
+            calc, positions, cell, cutoff, ns, mesh_impl=mesh_impl,
         )
         rows = fp.bucket(positions)
         e, g = jax.jit(jax.value_and_grad(fp.energy, argnums=2))(

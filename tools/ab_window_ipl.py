@@ -1,15 +1,13 @@
-"""TPU A/B: XLA vs Pallas window engines across potential families.
+"""TPU ms of the real-space window per potential family (XLA engine).
 
-The monopole Pallas window kernel loses on Coulomb (banked r3 + r4: its
-Chebyshev pair math replaces one erfc+exp chain, and XLA's fused roll/matmul
-engine is already VPU-efficient).  But for the heavier `1/r^p` family the
-XLA pair values walk `gammaincc_over_powerlaw` (exp1 / erfc / multiple exp
-per candidate slot) while the kernel's Clenshaw evaluation costs the same
-~60 FMAs regardless of p — so the kernel should win where the
-transcendentals are heavy.  This banks the per-family numbers that set
-`md._WINDOW_AUTO_TPU`.
+History: this began as the XLA-vs-Pallas A/B that retired the monopole
+Pallas window kernel (banked table in ops/pallas/window_pallas.py).  Its
+first run also exposed jax.scipy's while_loop gammainc serializing the
+vector lanes (215-375 ms/window at p = 2..3) — fixed by the closed forms in
+ops/math.py:gammainc_over_powerlaw, after which the XLA engine wins every
+family and the kernel was removed.
 
-    python tools/ab_window_ipl.py            # 102k atoms, p = 1, 2, 3
+    python tools/ab_window_ipl.py            # 102k atoms, p = 1, 2, 3, 6
 """
 
 from __future__ import annotations
@@ -95,27 +93,16 @@ def main():
         ("ipl p=6", tpme.InversePowerLawPotential(exponent=6, smearing=smearing)),
     ]
     for pname, pot in pots:
-        vals = {}
-        for impl in ("xla", "pallas"):
 
-            def body(r, pot=pot, impl=impl):
-                def erows(rr):
-                    return cell_list_rspace_energy_rows(
-                        pot, q, rr, cell_j, clist, window_impl=impl
-                    )
+        def body(r, pot=pot):
+            def erows(rr):
+                return cell_list_rspace_energy_rows(pot, q, rr, cell_j, clist)
 
-                e, g = jax.value_and_grad(erows)(r)
-                return r - 1e-12 * g
+            e, g = jax.value_and_grad(erows)(r)
+            return r - 1e-12 * g
 
-            run, init = chain(body, rows_p)
-            ms = timed(f"rspace rows v+g [{pname}, {impl}]", run, init)
-            vals[impl] = ms
-        if vals.get("xla") and vals.get("pallas"):
-            print(
-                f"  -> {pname}: pallas/xla = "
-                f"{vals['pallas'] / vals['xla']:.2f}x",
-                flush=True,
-            )
+        run, init = chain(body, rows_p)
+        timed(f"rspace rows v+g [{pname}]", run, init)
 
 
 if __name__ == "__main__":

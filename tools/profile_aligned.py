@@ -92,23 +92,16 @@ def main():
     run, init = chain(body_full, rows0)
     timed("FULL fp.energy value+grad", run, init)
 
-    for impl in ("xla", "pallas"):
-        if impl == "pallas":
-            from torchpme_tpu.ops.pallas.window_pallas import can_use_pallas_window
+    def body_rs(r):
+        e, g = jax.value_and_grad(
+            lambda rr: cell_list_rspace_energy_rows(
+                calc.potential, q, rr, cell_j, fp.clist
+            )
+        )(r)
+        return r - 1e-9 * g
 
-            if not can_use_pallas_window(calc.potential, CUTOFF):
-                continue
-
-        def body_rs(r, impl=impl):
-            e, g = jax.value_and_grad(
-                lambda rr: cell_list_rspace_energy_rows(
-                    calc.potential, q, rr, cell_j, fp.clist, window_impl=impl
-                )
-            )(r)
-            return r - 1e-9 * g
-
-        run, init = chain(body_rs, rows0)
-        timed(f"rspace rows value+grad [{impl}]", run, init)
+    run, init = chain(body_rs, rows0)
+    timed("rspace rows value+grad", run, init)
 
     # k-space alone = FULL minus rspace is unreliable (overlap); time it as
     # the aligned spread + quadratic-DFT branch of fp.energy

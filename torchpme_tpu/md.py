@@ -50,13 +50,15 @@ __all__ = ["MDFastPath", "MDFastPathDipole", "MDFastPathEwald"]
 
 
 # Auto-policy for the real-space window engine on TPU, per kernel family
-# (v5e, 102k atoms, 2026-08-18, tools/profile_window*.py).  Monopole: the
-# fused VMEM pair kernel loses to the roll/matmul window (rspace rows
-# value+grad 8.36 vs 7.20 ms) — VPU-bound candidate arithmetic, so removing
-# the HBM round trips doesn't pay.  Dipole: the fused kernel WINS 16.42 vs
-# 29.52 ms (the XLA engine materializes ~26 candidate planes per offset
-# chunk; keeping them in VMEM halves the pass).
-_WINDOW_AUTO_TPU = "xla"
+# (v5e, 102k atoms; re-banked 2026-08-19, tools/ab_window_ipl.py /
+# profile_window_dipole.py).  Monopole: the XLA roll/matmul window wins for
+# EVERY potential family (Coulomb 4.1 vs 5.3 ms, 1/r² 4.4 vs 5.0, 1/r³ 5.3
+# vs 5.8, 1/r⁶ 4.5 vs 5.7 — rows value+grad, floor subtracted) now that the
+# math tier has closed-form incomplete-gamma kernels, so its fused Pallas
+# variant was retired (ops/pallas/window_pallas.py keeps the shared prep +
+# the banked table).  Dipole: the fused kernel WINS 16.42 vs 29.52 ms (the
+# XLA engine materializes ~26 candidate planes per offset chunk; keeping
+# them in VMEM halves the pass) and stays the TPU default.
 _WINDOW_AUTO_TPU_DIPOLE = "pallas"
 
 
@@ -64,41 +66,36 @@ def _resolve_window_impl(
     potential, cutoff: float, window_impl: str, *, dipole: bool = False
 ) -> str:
     """Resolve the ``window_impl`` argument shared by every fast-path class:
-    ``"auto"`` follows the measured per-family TPU policy
-    (:data:`_WINDOW_AUTO_TPU` / :data:`_WINDOW_AUTO_TPU_DIPOLE`) and
-    requires the potential's analytic + kernel hooks; anything else must be
-    one of the two engines."""
+    ``"auto"`` follows the measured per-family TPU policy (monopole: always
+    the XLA window; dipole: the fused Pallas kernel when the potential's
+    analytic + kernel hooks allow it)."""
     if window_impl == "auto":
-        if dipole:
-            from .ops.pallas.window_dipole_pallas import (
-                can_use_pallas_dipole_window as _can_kernel,
-            )
-            from .ops.rspace_cells_dipole import (
-                _can_use_analytic_dipole as _can_analytic,
-            )
-        else:
-            from .ops.pallas.window_pallas import (
-                can_use_pallas_window as _can_kernel,
-            )
-            from .ops.rspace_cells import (
-                _can_use_analytic_derivative as _can_analytic,
-            )
+        if not dipole:
+            return "xla"
+        from .ops.pallas.window_dipole_pallas import (
+            can_use_pallas_dipole_window as _can_kernel,
+        )
+        from .ops.rspace_cells_dipole import (
+            _can_use_analytic_dipole as _can_analytic,
+        )
 
-        policy = _WINDOW_AUTO_TPU_DIPOLE if dipole else _WINDOW_AUTO_TPU
         return (
             "pallas"
             if (
-                policy == "pallas"
+                _WINDOW_AUTO_TPU_DIPOLE == "pallas"
                 and jax.default_backend() == "tpu"
                 and _can_analytic(potential)
                 and _can_kernel(potential, cutoff)
             )
             else "xla"
         )
-    if window_impl not in ("xla", "pallas"):
+    valid = ("xla", "pallas") if dipole else ("xla",)
+    if window_impl not in valid:
         raise ValueError(
-            f"`window_impl` is {window_impl!r} but must be 'auto', "
-            "'xla' or 'pallas'"
+            f"`window_impl` is {window_impl!r} but must be 'auto' or one of "
+            f"{valid} (the monopole Pallas window was retired — it lost the "
+            "hardware A/B for every potential family; see "
+            "ops/pallas/window_pallas.py)"
         )
     return window_impl
 
@@ -206,10 +203,11 @@ class MDFastPath:
             allows (one mesh tile ≥ the cutoff per x/y cell, ≥32768 atoms
             — the measured crossover), else "fused"; on other backends
             "tiled".
-        :param window_impl: real-space window engine — ``"xla"`` (the
-            roll/matmul window) or ``"pallas"`` (the fused VMEM pair kernel,
-            needs the potential's ``window_pair_math`` hook).  ``"auto"``
-            follows the measured TPU policy.
+        :param window_impl: real-space window engine.  The monopole window
+            has one engine, ``"xla"`` (the roll/matmul window; ``"auto"``
+            resolves to it — its retired Pallas variant lost the hardware
+            A/B for every potential family, see
+            :mod:`torchpme_tpu.ops.pallas.window_pallas`).
         """
         from .ops.mesh_tiled import supports_tiling
 

@@ -1,8 +1,8 @@
 """Minimax-ish polynomial fits for transcendental-free TPU kernels.
 
-The fused Pallas pair-window kernel
-(:mod:`torchpme_tpu.ops.pallas.window_pallas`) replaces the SR pair math's
-transcendentals (``erfc``/incomplete-gamma, ``exp``) with Chebyshev
+The fused Pallas dipolar window kernel
+(:mod:`torchpme_tpu.ops.pallas.window_dipole_pallas`) replaces the SR pair
+math's transcendentals (``erfc``/incomplete-gamma, ``exp``) with Chebyshev
 polynomials evaluated in VMEM: the target functions are *entire*, so a
 Chebyshev least-squares fit on the full ``[0, cutoff]`` pair-distance domain
 converges fast (degree 14–18 reaches ~2e-7 absolute — below f32 roundoff)
@@ -28,7 +28,6 @@ __all__ = [
     "clenshaw",
     "dipole_window_scalar_math",
     "fit_f32_cheb",
-    "ipl_window_pair_math",
 ]
 
 
@@ -145,50 +144,3 @@ def dipole_window_scalar_math(prefactor, smearing, cutoff):
         return b, c, cp
 
     return scalar_math
-
-
-def ipl_window_pair_math(prefactor, smearing, exponent, cutoff):
-    r"""Kernel pair math for the range-separated :math:`1/r^p` family.
-
-    The SR pair terms are :math:`V_{SR} = P\,Q(p/2, (\alpha r)^2)/r^p` and
-    :math:`V_{SR}' = -\bigl(p\,V_{SR} + P\,c\,e^{-(\alpha r)^2}\bigr)/r`
-    with :math:`\alpha = 1/(\sigma\sqrt2)` and
-    :math:`c = 2\alpha^p/\Gamma(p/2)`; both :math:`Q(p/2, (\alpha r)^2)`
-    (regularized upper incomplete gamma — ``erfc(αr)`` at p = 1) and the
-    Gaussian are entire functions of ``r``, so the Chebyshev treatment
-    reaches f32 roundoff on the full ``[0, cutoff]`` domain at every
-    integer exponent.  Returns a ``(d, ok, q_pair) -> (pair_e, s, v)``
-    callable for the fused Pallas window kernel, or ``None`` when either
-    fit cannot reach tolerance (extreme :math:`\alpha\,r_c` — callers fall
-    back to XLA).
-    """
-    import jax.numpy as jnp
-    from scipy import special as _sps
-
-    prefactor = float(prefactor)
-    smearing = float(smearing)
-    p = int(exponent)
-    alpha = 1.0 / (smearing * 2.0**0.5)
-    c_q = fit_f32_cheb(
-        lambda r: _sps.gammaincc(p / 2, (alpha * r) ** 2), 0.0, cutoff
-    )
-    c_gauss = fit_f32_cheb(
-        lambda r: np.exp(-((alpha * r) ** 2)), 0.0, cutoff
-    )
-    if c_q is None or c_gauss is None:
-        return None
-    # plain Python float: an np.float64 scalar here would strongly promote
-    # the whole force chain to f64 inside the f32 kernel
-    c_force = float(prefactor * 2.0 * alpha**p / _sps.gamma(p / 2))
-    u_scale = 2.0 / cutoff  # u = 2 d / cutoff - 1
-
-    def pair_math(d, ok, q_pair):
-        u = u_scale * d - 1.0
-        zero = jnp.zeros((), d.dtype)
-        vq = jnp.where(ok, q_pair, zero)
-        v_raw = prefactor * clenshaw(c_q, u) / d**p
-        pair_e = vq * v_raw
-        dd = -(p * pair_e + vq * (c_force * clenshaw(c_gauss, u))) / d
-        return pair_e, dd / d, jnp.where(ok, v_raw, zero)
-
-    return pair_math

@@ -611,33 +611,22 @@ def _can_use_analytic_derivative(potential) -> bool:
 
 
 def _window_spec(cutoff, chunks, potential, window_impl="xla"):
-    """Static window spec ``(cutoff, chunks, use_analytic, use_pallas)``.
+    """Static window spec ``(cutoff, chunks, use_analytic)``.
 
-    ``window_impl`` picks the fused value-and-gradient engine: ``"xla"`` (the
-    roll/matmul window) or ``"pallas"`` (the VMEM-resident kernel,
-    :mod:`torchpme_tpu.ops.pallas.window_pallas`).  Pallas additionally
-    requires the potential's ``window_pair_math`` hook to produce a
-    kernel-ready pair math for this cutoff *and* the analytic-derivative gate
-    (concrete parameters) — a hard error otherwise, so callers that auto-pick
-    never silently change engines."""
-    use_analytic = _can_use_analytic_derivative(potential)
-    if window_impl == "xla":
-        return (float(cutoff), chunks, use_analytic)
-    if window_impl != "pallas":
+    The monopole window has exactly one engine: the XLA roll/matmul window.
+    (A fused Pallas variant was retired in round 4 after it lost the
+    hardware A/B for every supported potential family — see the banked
+    table in :mod:`torchpme_tpu.ops.pallas.window_pallas`; the dipolar
+    window, whose pair math is arithmetic-heavy, keeps its winning kernel
+    in :mod:`torchpme_tpu.ops.pallas.window_dipole_pallas`.)"""
+    if window_impl != "xla":
         raise ValueError(
-            f"`window_impl` is {window_impl!r} but must be 'xla' or 'pallas'"
+            f"`window_impl` is {window_impl!r} but the monopole window has "
+            "one engine, 'xla' (the Pallas variant was retired: it lost the "
+            "hardware A/B for every potential family — see "
+            "ops/pallas/window_pallas.py)"
         )
-    from .pallas.window_pallas import can_use_pallas_window
-
-    if not use_analytic or not can_use_pallas_window(potential, cutoff):
-        raise ValueError(
-            "window_impl='pallas' requires a potential with a kernel-ready "
-            "`window_pair_math(cutoff)` (concrete parameters, range-separated, "
-            "no exclusion window, fit within tolerance); "
-            f"{type(potential).__name__} does not provide one here. "
-            "Use window_impl='xla'."
-        )
-    return (float(cutoff), chunks, True, True)
+    return (float(cutoff), chunks, _can_use_analytic_derivative(potential))
 
 
 def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
@@ -754,10 +743,6 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
 
 
 def _we_fwd(spec, potential, pc_t, q_g, mf_g, offs):
-    if len(spec) > 3 and spec[3]:
-        from .pallas.window_pallas import pallas_window_value_and_grad
-
-        return pallas_window_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs)
     return _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs)
 
 
@@ -795,12 +780,6 @@ def _window_energy_split(spec, potential, pc_t, q_g, mf_g, offs, qi_g):
 
 
 def _we_split_fwd(spec, potential, pc_t, q_g, mf_g, offs, qi_g):
-    if len(spec) > 3 and spec[3]:
-        from .pallas.window_pallas import pallas_window_value_and_grad
-
-        return pallas_window_value_and_grad(
-            spec, potential, pc_t, q_g, mf_g, offs, qi_g
-        )
     return _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g)
 
 

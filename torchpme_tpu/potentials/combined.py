@@ -134,35 +134,6 @@ class CombinedPotential(Potential):
 
         return deriv
 
-    def window_pair_math(self, cutoff: float):
-        """Kernel pair math = the weight-folded sum of the members' pair
-        maths (``None`` unless every member provides one and every leaf —
-        weights included — is concrete)."""
-        if any(
-            isinstance(leaf, jax.core.Tracer)
-            for leaf in jax.tree_util.tree_leaves(self)
-        ):
-            return None
-        maths = []
-        for p in self.potentials:
-            hook = getattr(p, "window_pair_math", None)
-            m = hook(float(cutoff)) if hook is not None else None
-            if m is None:
-                return None
-            maths.append(m)
-        ws = [float(w) for w in jnp.asarray(self.weights)]
-
-        def pair_math(d, ok, q_pair):
-            pe = s = v = jnp.zeros((), d.dtype)
-            for w, m in zip(ws, maths):
-                pe_i, s_i, v_i = m(d, ok, q_pair)
-                pe = pe + w * pe_i
-                s = s + w * s_i
-                v = v + w * v_i
-            return pe, s, v
-
-        return pair_math
-
     def self_contribution(self) -> Array:
         return self._combine([p.self_contribution() for p in self.potentials])
 

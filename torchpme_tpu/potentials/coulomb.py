@@ -135,36 +135,6 @@ class CoulombPotential(Potential):
         c = self.prefactor * 2.0 * alpha / jnp.pi**0.5
         return -(pair_e + vq * (c * gauss)) / dist
 
-    def window_pair_math(self, cutoff: float):
-        r"""Transcendental-free pair math for the fused Pallas window kernel.
-
-        With :math:`\alpha = 1/(\sigma\sqrt2)`, the SR pair terms need only
-        :math:`\mathrm{erfc}(\alpha r)` and :math:`e^{-\alpha^2r^2}` — both
-        entire functions, so degree 14–18 Chebyshev fits on the full
-        ``[0, cutoff]`` domain reach ~2e-7 absolute (below f32 roundoff;
-        see :mod:`torchpme_tpu.ops.polyfit`), replacing the two
-        VPU-expensive transcendentals with ~60 fused multiply-adds in VMEM.
-        Returns ``None`` when parameters are traced (no cotangents exist in
-        kernel mode) or the fit cannot reach tolerance (extreme
-        :math:`\alpha\,r_c`); callers then use the XLA window engine.
-        """
-        import jax as _jax
-
-        from ..ops.polyfit import ipl_window_pair_math
-
-        if self.smearing is None or self.exclusion_radius is not None:
-            return None
-        if any(
-            isinstance(leaf, _jax.core.Tracer)
-            for leaf in _jax.tree_util.tree_leaves(self)
-        ):
-            return None
-        # Coulomb is the p = 1 member of the 1/r^p family:
-        # Q(1/2, (αr)²) ≡ erfc(αr), c = 2α/Γ(1/2) = 2α/√π
-        return ipl_window_pair_math(
-            self.prefactor, self.smearing, 1, float(cutoff)
-        )
-
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         if self.smearing is None:
             raise ValueError(

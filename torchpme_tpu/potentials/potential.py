@@ -134,16 +134,6 @@ class Potential:
     #: of repeated erfc at 102k atoms on a v5e with the generic hook).
     sr_pair_force = None
 
-    #: Optional Pallas-kernel hook: ``window_pair_math(cutoff) -> pair_math``
-    #: returning a *kernel-ready* pair math — a function
-    #: ``(d, ok, q_pair) -> (pair_e, s, v)`` built only from ops Mosaic
-    #: lowers cheaply (fused multiply-adds, sqrt, div; no transcendentals),
-    #: valid on the whole masked-distance domain ``(0, cutoff] ∪ {1}`` —
-    #: or ``None`` when no such form exists for these parameters (callers
-    #: fall back to the XLA window engine).  Requires concrete parameters:
-    #: like the analytic-force hooks, it yields no parameter cotangents.
-    window_pair_math = None
-
     # -- reciprocal space ----------------------------------------------------
 
     def lr_from_k_sq(self, k_sq: Array) -> Array:
