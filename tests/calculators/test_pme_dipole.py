@@ -160,3 +160,43 @@ def test_pme_dipole_validation():
         pme._compute_kspace(
             dipoles, cell, positions, kvectors=jnp.zeros((4, 3))
         )
+
+
+def test_pme_dipole_fast_path_tiled_backend():
+    """MDFastPathDipole with the tiled mesh backend (bucket-reused gradient
+    stencils, refreshed per step) matches the scatter backend exactly and
+    keeps the staleness NaN contract through the tiled mesh."""
+    rng = np.random.default_rng(0)
+    n, box, cutoff = 200, 10.0, 3.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)))
+    mu = jnp.asarray(rng.normal(size=(n, 3)))
+    cell = jnp.eye(3) * box
+
+    fps = {}
+    for backend in ("scatter", "tiled"):
+        calc = tpme.PMECalculatorDipole(
+            tpme.PotentialDipole(smearing=1.0),
+            mesh_spacing=0.5,
+            mesh_backend=backend,
+        )
+        fps[backend] = tpme.MDFastPathDipole.create(calc, pos, cell, cutoff)
+    assert fps["tiled"].tiled is not None
+    assert fps["scatter"].tiled is None
+
+    outs = {}
+    for backend, fp in fps.items():
+        rows = fp.bucket(pos)
+        e, g = jax.jit(jax.value_and_grad(fp.energy, argnums=2))(mu, cell, rows)
+        outs[backend] = (float(e), np.asarray(fp.unbucket(g)))
+    e_s, f_s = outs["scatter"]
+    e_t, f_t = outs["tiled"]
+    np.testing.assert_allclose(e_t, e_s, rtol=1e-12)
+    scale = np.max(np.abs(f_s))
+    np.testing.assert_allclose(f_t / scale, f_s / scale, atol=1e-12)
+
+    # drifted rows must NaN-poison under jit (and raise eagerly)
+    fp = fps["tiled"]
+    rows = fp.bucket(pos)
+    assert bool(jnp.isnan(jax.jit(fp.energy)(mu, cell, rows + 4.0)))
+    with pytest.raises(ValueError, match="stale"):
+        fp.energy(mu, cell, rows + 4.0)

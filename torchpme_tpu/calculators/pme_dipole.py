@@ -47,6 +47,13 @@ from ..ops.mesh import (
     dipoles_to_mesh,
     mesh_to_dipole_field,
 )
+from ..ops.mesh_tiled import (
+    compute_tiled_interpolation,
+    refresh_tiled_interpolation,
+    supports_tiling,
+    tiled_dipoles_to_mesh,
+    tiled_mesh_to_dipole_field,
+)
 from ..potentials import PotentialDipole
 from ..potentials.potential import static_field
 from .dipole import CalculatorDipole
@@ -101,6 +108,13 @@ class PMECalculatorDipole(CalculatorDipole):
     interpolation_nodes: int = static_field(default=6)
     _method: str = static_field(default="Lagrange", kw_only=True)
     fft_backend: str = static_field(default="auto", kw_only=True)
+    #: mesh spread/gather backend: "auto" (the tiled batched-GEMM path on
+    #: accelerators when the mesh tiles — measured 1487 -> 26 ms/step for the
+    #: 102k-atom dipolar MD step on a v5e — else the scatter path), "tiled",
+    #: or "scatter".  Mirrors PMECalculator.mesh_backend.
+    mesh_backend: str = static_field(default="auto", kw_only=True)
+    #: tile capacity override for the tiled backend (as PMECalculator's)
+    tile_capacity: int | None = static_field(default=None, kw_only=True)
 
     def __post_init__(self):
         if not isinstance(self.potential, PotentialDipole):
@@ -164,6 +178,7 @@ class PMECalculatorDipole(CalculatorDipole):
         positions: Array,
         kvectors: Array | None = None,
         ns_kvectors: tuple[int, int, int] | None = None,
+        tiled_interp=None,
     ) -> Array:
         if kvectors is not None:
             raise ValueError(
@@ -176,14 +191,63 @@ class PMECalculatorDipole(CalculatorDipole):
             else self.get_ns_kvectors(cell)
         )
         dtype = positions.dtype
-        interp = compute_dipole_interpolation(
-            positions,
-            inv3(cell),
-            ns,
-            self.interpolation_nodes,
-            self._method,
-        )
-        q_mesh = dipoles_to_mesh(interp, dipoles.astype(dtype))
+        inverse_cell = inv3(cell)
+        use_tiled = self._use_tiled(ns)
+        mesh_valid = None
+        if use_tiled:
+            import jax.core as _core
+
+            if tiled_interp is not None:
+                # MD bucket reuse: refresh only per-slot geometry
+                interp_t, mesh_valid = refresh_tiled_interpolation(
+                    tiled_interp, positions, inverse_cell, self._method
+                )
+                if not isinstance(mesh_valid, _core.Tracer) and not bool(
+                    mesh_valid
+                ):
+                    raise ValueError(
+                        "The provided `tiled_interp` bucketing is stale: atoms "
+                        "have drifted out of their tile's stencil window (or "
+                        "it was built with overflow). Rebucket with "
+                        "compute_tiled_interpolation(derivatives=True)."
+                    )
+            else:
+                interp_t = compute_tiled_interpolation(
+                    positions,
+                    inverse_cell,
+                    ns,
+                    self.interpolation_nodes,
+                    self._method,
+                    capacity=self.tile_capacity,
+                    derivatives=True,
+                )
+                mesh_valid = interp_t.dropped == 0
+            if not isinstance(interp_t.dropped, _core.Tracer) and int(
+                interp_t.dropped
+            ):
+                raise ValueError(
+                    f"{int(interp_t.dropped)} atoms exceeded the tile capacity "
+                    "of the tiled dipolar mesh backend; pass a larger "
+                    "`tile_capacity` or mesh_backend='scatter'."
+                )
+            ns_arr = jnp.asarray(ns, dtype=dtype)
+            # effective per-axis charges: chain rule through rel = pos@C⁻¹·ns
+            nu = (
+                jnp.matmul(
+                    dipoles.astype(dtype), inverse_cell, precision="highest"
+                )
+                * ns_arr
+            )
+            q_mesh = tiled_dipoles_to_mesh(interp_t, nu)
+        else:
+            interp = compute_dipole_interpolation(
+                positions,
+                inverse_cell,
+                ns,
+                self.interpolation_nodes,
+                self._method,
+            )
+            q_mesh = dipoles_to_mesh(interp, dipoles.astype(dtype))
         kfilter = compute_kspace_filter(self.potential.lr_from_k_sq, cell, ns)
         if self._use_dft(ns):
             filtered = apply_kspace_filter_dft(q_mesh, kfilter)
@@ -192,9 +256,34 @@ class PMECalculatorDipole(CalculatorDipole):
                 q_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
             )
         volume = jnp.abs(jnp.linalg.det(cell))
-        field = mesh_to_dipole_field(interp, filtered) / volume
+        if use_tiled:
+            e_rel = tiled_mesh_to_dipole_field(interp_t, filtered) / volume
+            field = jnp.einsum(
+                "na,ba,a->nb", e_rel, inverse_cell, ns_arr, precision="highest"
+            )
+            # stale/overflowed bucketing poisons the result multiplicatively
+            # so the NaN rides every gradient (same contract as PMECalculator)
+            field = field * jnp.where(mesh_valid, 1.0, jnp.nan)
+        else:
+            field = mesh_to_dipole_field(interp, filtered) / volume
         field = field - dipoles * self.potential.self_contribution()
         field = field + self.potential.background_correction(volume) * jnp.sum(
             dipoles, axis=0
         )
         return field / 2
+
+    def _use_tiled(self, ns) -> bool:
+        if self.mesh_backend == "tiled":
+            return True
+        if self.mesh_backend == "scatter":
+            return False
+        if self.mesh_backend != "auto":
+            raise ValueError(
+                f"`mesh_backend` is {self.mesh_backend!r} but must be "
+                "'auto', 'tiled' or 'scatter'"
+            )
+        import jax as _jax
+
+        return supports_tiling(ns, self.interpolation_nodes) and (
+            _jax.default_backend() not in ("cpu",)
+        )

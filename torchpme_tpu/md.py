@@ -477,6 +477,10 @@ class MDFastPathDipole:
     n_rows: int = field(metadata=dict(static=True))
     n_atoms: int = field(metadata=dict(static=True))
     window_impl: str = field(metadata=dict(static=True), default="xla")
+    # tile bucketing (derivative stencils) for PMECalculatorDipole's tiled
+    # mesh backend; atom_of_slot remapped to bucket-row ids, refreshed
+    # per step like the monopole fast path's.  None for Ewald/scatter.
+    tiled: TiledInterpolation | None = None
 
     @classmethod
     def create(
@@ -515,6 +519,30 @@ class MDFastPathDipole:
             if calc.potential.smearing is not None
             else None
         )
+        tiled = None
+        use_tiled = getattr(calc, "_use_tiled", None)
+        if ns_k is not None and use_tiled is not None and use_tiled(ns_k):
+            tiled = compute_tiled_interpolation(
+                jnp.asarray(positions),
+                inv3(jnp.asarray(cell)),
+                ns_k,
+                calc.interpolation_nodes,
+                calc._method,
+                derivatives=True,
+            )
+            if int(tiled.dropped):
+                raise ValueError(
+                    f"{int(tiled.dropped)} atoms exceeded the tile capacity; "
+                    "pass mesh_backend='scatter' or a larger tile_capacity"
+                )
+            # remap tile slots from atom ids to bucket-row ids (as MDFastPath)
+            slots = np.asarray(tiled.atom_of_slot)
+            remapped = np.where(
+                slots == n_atoms,
+                n_rows,
+                row_of_atom[np.minimum(slots, n_atoms - 1)],
+            ).astype(np.int32)
+            tiled = replace(tiled, atom_of_slot=jnp.asarray(remapped))
         return cls(
             calc=calc,
             clist=clist,
@@ -523,6 +551,7 @@ class MDFastPathDipole:
             n_rows=n_rows,
             n_atoms=n_atoms,
             window_impl=window_impl,
+            tiled=tiled,
         )
 
     def bucket(self, positions: Array) -> Array:
@@ -562,6 +591,18 @@ class MDFastPathDipole:
         if self.calc.potential.smearing is None:
             return e_sr
         dtype = pos_rows.dtype
+        if self.tiled is not None:
+            # tiled dipolar mesh with bucket reuse: dipoles stay atom-order
+            # (the tile slots map atoms), pos_rows feed only the per-step
+            # weight refresh (row-id slots, exactly like MDFastPath)
+            field = self.calc._compute_kspace(
+                dipoles.astype(dtype),
+                cell,
+                pos_rows,
+                ns_kvectors=self.ns_kvectors,
+                tiled_interp=self.tiled,
+            )
+            return e_sr + jnp.sum(field * dipoles.astype(dtype))
         # dipole rows (position-independent: hoisted out of MD loops whose
         # dipoles are constant); padded rows get mu = 0 and drop out of
         # every k-space term

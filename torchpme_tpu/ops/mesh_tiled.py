@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array, lax
 
-from .mesh import compute_1d_weights
+from .mesh import compute_1d_weight_derivatives, compute_1d_weights
 
 __all__ = [
     "refresh_tiled_interpolation",
@@ -80,6 +80,9 @@ class TiledInterpolation:
     slot_of_atom: Array  # (N,) int32 flat bucket slot per atom (K*T for dropped)
     dropped: Array  # () int32, number of atoms beyond tile capacity
     atom_of_slot: Array | None = None  # (T, K) int32, N for empty slots
+    # per-axis 1D stencil weight DERIVATIVES (dW/d rel), only for dipolar
+    # spreading (build with ``derivatives=True``); None otherwise
+    dweights: Array | None = None  # (T, K, 3, n)
     ns: tuple[int, int, int] = field(metadata=dict(static=True), default=(1, 1, 1))
     nodes: int = field(metadata=dict(static=True), default=4)
 
@@ -108,8 +111,13 @@ def compute_tiled_interpolation(
     interpolation_nodes: int,
     method: str,
     capacity: int | None = None,
+    derivatives: bool = False,
 ) -> TiledInterpolation:
     """Bucket atoms into xy tiles and precompute stencil weights.
+
+    With ``derivatives=True`` the per-axis 1D weight *derivatives* are
+    bucketed too (``.dweights``) — the gradient stencils of the dipolar
+    mesh (:func:`tiled_dipoles_to_mesh`).
 
     Same numerical contract as :func:`torchpme_tpu.ops.mesh.compute_interpolation`
     (grid centering parity rule, wrapped indices), reorganized for the tiled
@@ -172,6 +180,11 @@ def compute_tiled_interpolation(
         offsets = rel - base
     weights_1d = compute_1d_weights(offsets, nodes, method)  # (n, N, 3)
     weights = jnp.transpose(weights_1d, (1, 2, 0))  # (N, 3, n)
+    dweights = (
+        jnp.transpose(compute_1d_weight_derivatives(offsets, nodes, method), (1, 2, 0))
+        if derivatives
+        else None
+    )
 
     # unwrapped stencil start per axis, wrapped into [0, ns)
     shift0 = 1 - (nodes + 1) // 2
@@ -204,6 +217,7 @@ def compute_tiled_interpolation(
         return flat[:-1].reshape(n_tiles, capacity, *values.shape[1:])
 
     b_weights = bucketize(weights)  # zero weights in empty slots → no contribution
+    b_dweights = bucketize(dweights) if derivatives else None
     b_local_x = bucketize((start[:, 0] - tile_x * TILE).astype(jnp.int32))
     b_local_y = bucketize((start[:, 1] - tile_y * TILE).astype(jnp.int32))
     b_start_z = bucketize(start[:, 2].astype(jnp.int32))
@@ -217,6 +231,7 @@ def compute_tiled_interpolation(
         slot_of_atom=slot_of_atom,
         dropped=dropped,
         atom_of_slot=b_atom,
+        dweights=b_dweights,
         ns=ns,
         nodes=nodes,
     )
@@ -449,6 +464,108 @@ def tiled_mesh_to_points(
     return per_slot[interp.slot_of_atom]
 
 
+def _dense_dipole_factors(interp: TiledInterpolation):
+    """Per-axis (xy-plane, z-line) dense factor pairs of the three gradient
+    stencils ``term_a = ∂_a[Wx Wy Wz]`` (fractional-mesh units)."""
+    if interp.dweights is None:
+        raise ValueError(
+            "This TiledInterpolation carries no weight derivatives; build it "
+            "with compute_tiled_interpolation(..., derivatives=True)."
+        )
+    _, _, nz, _, _, extent = _tile_geometry(interp.ns, interp.nodes)
+    w, dw = interp.weights, interp.dweights
+    wx = _dense_axis_weights(interp.local_x, w[:, :, 0], extent)
+    wy = _dense_axis_weights(interp.local_y, w[:, :, 1], extent)
+    wz = _dense_axis_weights(interp.start_z, w[:, :, 2], nz, wrap=nz)
+    dwx = _dense_axis_weights(interp.local_x, dw[:, :, 0], extent)
+    dwy = _dense_axis_weights(interp.local_y, dw[:, :, 1], extent)
+    dwz = _dense_axis_weights(interp.start_z, dw[:, :, 2], nz, wrap=nz)
+    ex = lambda a, b: a[:, :, :, None] * b[:, :, None, :]  # noqa: E731
+    return (
+        (ex(dwx, wy), wz),  # ∂x
+        (ex(wx, dwy), wz),  # ∂y
+        (ex(wx, wy), dwz),  # ∂z
+    )
+
+
+def tiled_dipoles_to_mesh(interp: TiledInterpolation, nu: Array) -> Array:
+    r"""Spread point dipoles onto the mesh as a gradient density — the tiled
+    (batched-GEMM, scatter-free) counterpart of
+    :func:`torchpme_tpu.ops.mesh.dipoles_to_mesh`.
+
+    The dipolar density separates per fractional axis:
+    :math:`Q(m) = \sum_j \vec\mu_j\cdot\nabla_{r_j} W_j(m)
+    = \sum_a \nu_{ja}\,\partial_a[W_x W_y W_z]` with the *effective
+    per-axis charges* :math:`\nu_{ja} = n_a\,(\mu_j\,C^{-1})_a` (chain
+    rule through ``rel = pos @ inverse_cell * ns``) — i.e. three
+    monopole-like spreads whose ``a``-axis stencil is the weight
+    derivative.  They run as ONE batched GEMM with the axis variants
+    concatenated along the (reduction) capacity dim.
+
+    :param nu: ``(N, 3)`` effective per-axis charges
+        ``(dipoles @ inverse_cell) * ns``.
+    :return: dipolar density mesh ``(1, nx, ny, nz)``.
+    """
+    nz = interp.ns[2]
+    n_tiles, capacity = interp.local_x.shape
+    extent = TILE + interp.nodes - 1
+
+    flat_nu = jnp.zeros((n_tiles * capacity + 1, 3), nu.dtype).at[
+        interp.slot_of_atom
+    ].set(nu)
+    b_nu = flat_nu[:-1].reshape(n_tiles, capacity, 3)
+
+    factors = _dense_dipole_factors(interp)
+    w_cat = jnp.concatenate(
+        [wxy.reshape(n_tiles, capacity, extent * extent) for wxy, _ in factors],
+        axis=1,
+    )  # (T, 3K, E²)
+    q_cat = jnp.concatenate(
+        [zfac * b_nu[:, :, a : a + 1] for a, (_, zfac) in enumerate(factors)],
+        axis=1,
+    )  # (T, 3K, nz)
+    rho_tiles = lax.dot_general(
+        w_cat,
+        q_cat,
+        (((1,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=nu.dtype,
+    ).reshape(n_tiles, extent, extent, nz, 1)
+    return _fold_tiles_to_mesh(rho_tiles, interp.ns, interp.nodes)
+
+
+def tiled_mesh_to_dipole_field(interp: TiledInterpolation, mesh_vals: Array) -> Array:
+    r"""Back-interpolate a filtered mesh to per-atom gradient fields in
+    fractional-mesh units (transpose of :func:`tiled_dipoles_to_mesh`):
+    ``e_rel[j, a] = Σ_m ∂_a[W_j](m)·mesh(m)``, so
+    ``Σ_j ν_j·e_rel_j == Σ_m Q·mesh`` exactly.  Chain to position units
+    with ``(e_rel * ns) @ inverse_cell.T`` at the caller.
+    """
+    nz = interp.ns[2]
+    n_tiles, capacity = interp.local_x.shape
+    extent = TILE + interp.nodes - 1
+
+    tiles = _extract_tiles_from_mesh(mesh_vals, interp.ns, interp.nodes)
+    tiles2 = tiles.reshape(n_tiles, extent * extent, nz)
+    comps = []
+    for wxy, zfac in _dense_dipole_factors(interp):
+        partial = lax.dot_general(
+            wxy.reshape(n_tiles, capacity, extent * extent),
+            tiles2,
+            (((2,), (1,)), ((0,), (0,))),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=mesh_vals.dtype,
+        )  # (T, K, nz)
+        comps.append(
+            jnp.einsum("tkz,tkz->tk", zfac, partial, precision="highest")
+        )
+    per_slot = jnp.stack(comps, axis=-1).reshape(n_tiles * capacity, 3)
+    per_slot = jnp.concatenate(
+        [per_slot, jnp.zeros((1, 3), per_slot.dtype)], axis=0
+    )
+    return per_slot[interp.slot_of_atom]
+
+
 def refresh_tiled_interpolation(
     interp: TiledInterpolation,
     positions: Array,
@@ -505,6 +622,11 @@ def refresh_tiled_interpolation(
     weights = jnp.moveaxis(
         compute_1d_weights(offsets, nodes, method), 0, -1
     )  # (T, K, 3, n)
+    dweights = (
+        jnp.moveaxis(compute_1d_weight_derivatives(offsets, nodes, method), 0, -1)
+        if interp.dweights is not None
+        else None
+    )
 
     shift0 = 1 - (nodes + 1) // 2
     start = (base + shift0) % jnp.asarray(ns, dtype=jnp.int32)  # (T, K, 3)
@@ -519,6 +641,8 @@ def refresh_tiled_interpolation(
     empty = interp.atom_of_slot == n_atoms
     # zero the weights of empty slots so they contribute nothing
     weights = jnp.where(empty[..., None, None], 0.0, weights)
+    if dweights is not None:
+        dweights = jnp.where(empty[..., None, None], 0.0, dweights)
     local_x = jnp.where(empty, 0, local_x)
     local_y = jnp.where(empty, 0, local_y)
     start_z = jnp.where(empty, 0, start[:, :, 2])
@@ -537,6 +661,7 @@ def refresh_tiled_interpolation(
         slot_of_atom=interp.slot_of_atom,
         dropped=interp.dropped,
         atom_of_slot=interp.atom_of_slot,
+        dweights=dweights,
         ns=ns,
         nodes=nodes,
     )
