@@ -167,11 +167,14 @@ def bench_ours(positions, charges, cell, idx, dist, shifts, smearing, nodes, spa
     # tiny force perturbation into the next step's inputs, all on device, and
     # the host syncs once at the end.  Per-call timing would mostly measure
     # host/tunnel round-trip latency (~25 ms on this runtime), not compute.
-    # CHAIN=50 amortizes the per-sync tunnel round trip to <0.1 ms/step
+    # CHAIN=20 amortizes the per-sync tunnel round trip to <0.1 ms/step
     # (production MD runs thousands of steps between host syncs; the
     # remaining value is honest device time — the null-chain floor measured
-    # by tools/profile_aligned.py confirms it).
-    CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
+    # by tools/profile_aligned.py confirms it).  Longer chains change the
+    # number by <0.05 ms but the remote compile server rejects the
+    # CHAIN=50 program ("response body closed"), so 20 is the reliable
+    # setting on this runtime.
+    CHAIN = int(os.environ.get("BENCH_CHAIN", 20))
 
     @jax.jit
     def chained(positions):

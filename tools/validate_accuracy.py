@@ -113,6 +113,28 @@ def stage2():
     status = "PASS" if rel_force_rms < 1e-4 and rel_energy < 1e-4 else "FAIL"
     print(f"  1e-4 target: {status}")
 
+    # the SHIPPING path: MDFastPath with the fused Pallas spread and the
+    # analytic-VJP window.  The aligned variant does not fit this small
+    # box's tile geometry; its equivalence to these (same kernels, zero-
+    # gather layout) is covered by tests/test_md.py::
+    # test_md_fastpath_aligned_matches_tiled and the 102k-atom hardware
+    # smoke (tools/smoke_sharded_tpu.py: 1.4e-7 vs unsharded aligned).
+    for mesh_impl in ("tiled", "fused"):
+        fp = tpme.MDFastPath.create(calc, pos, c, CUTOFF, ns, mesh_impl=mesh_impl)
+        rows = fp.bucket(pos)
+        e_fp, g_rows = jax.jit(
+            jax.value_and_grad(lambda r: fp.energy(q, c, r))
+        )(rows)
+        f_fp = -np.asarray(fp.unbucket(g_rows), dtype=np.float64)
+        err = f_fp - f_ref
+        rel_e = abs(float(e_fp) - e_ref) / abs(e_ref)
+        rel_rms = float(np.sqrt(np.mean(err**2))) / rms_f
+        status = "PASS" if rel_rms < 1e-4 and rel_e < 1e-4 else "FAIL"
+        print(
+            f"stage2 fast path (mesh_impl={mesh_impl}, window={fp.window_impl}): "
+            f"energy rel {rel_e:.3e}, force rel RMS {rel_rms:.3e} -> {status}"
+        )
+
 
 if __name__ == "__main__":
     {"stage1": stage1, "stage2": stage2}[sys.argv[1]]()
