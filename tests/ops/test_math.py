@@ -126,3 +126,20 @@ def test_inv3_matches_numpy():
     inv = np.linalg.inv(np.asarray(m))
     ref = -inv @ np.asarray(dm) @ inv
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-10)
+
+
+def test_exp1_f32_fast_path_matches_scipy():
+    """The f32 exp1 (A&S rational forms — jax.scipy's while_loop serializes
+    TPU vector lanes) must match scipy to ~1e-6 relative over the physical
+    range, with the exact-derivative custom JVP."""
+    x = np.logspace(-6, 1.3, 300)  # x <= 20: E1 >= 1e-10
+    ours = np.asarray(exp1(jnp.asarray(x, jnp.float32))).astype(np.float64)
+    ref = scipy.special.exp1(x)
+    np.testing.assert_allclose(ours, ref, rtol=3e-6)
+    g = jax.vmap(jax.grad(lambda v: exp1(v)))(jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(g, np.float64), -np.exp(-x) / x, rtol=1e-5
+    )
+    # the f64 entry point stays on jax.scipy (scipy-grade accuracy)
+    o64 = np.asarray(exp1(jnp.asarray(x)))
+    np.testing.assert_allclose(o64, ref, rtol=1e-12)

@@ -10,6 +10,7 @@ jit-friendly compositions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 from jax.scipy import special as _jsp
@@ -59,12 +60,53 @@ def gamma(x: Array) -> Array:
     return jnp.exp(_jsp.gammaln(x))
 
 
+@jax.custom_jvp
+def _exp1_f32(x: Array) -> Array:
+    """f32 :math:`E_1(x)` by the Abramowitz & Stegun rational forms.
+
+    ``jax.scipy.special.exp1`` evaluates a series / continued fraction
+    under ``lax.while_loop`` — on a TPU that serializes every vector lane
+    (the same pathology as ``gammainc``; this sits inside the k-space
+    filter of the :math:`1/r^3` and :math:`1/r^5` potentials, evaluated
+    over the whole mesh every step).  A&S 5.1.53 (x ≤ 1, abs err < 2e-7)
+    and 5.1.56 (x ≥ 1, abs err < 2e-8 on :math:`x e^x E_1`) are branch-free
+    polynomial/rational forms at f32 roundoff."""
+    xs = jnp.maximum(x, jnp.asarray(1e-30, x.dtype))
+    # x <= 1: E1 = -ln x + Σ a_k x^k  (A&S 5.1.53)
+    a = (-0.57721566, 0.99999193, -0.24991055, 0.05519968, -0.00976004,
+         0.00107857)
+    xl = jnp.minimum(xs, 1.0)
+    p_small = a[5]
+    for c in a[4::-1]:
+        p_small = p_small * xl + c
+    small = p_small - jnp.log(xl)
+    # x >= 1: E1 = e^-x/x · (x⁴ + a1 x³ + …) / (x⁴ + b1 x³ + …)
+    # (A&S 5.1.56, the 4-term set: |err| < 2e-8 on x·eˣ·E1)
+    a1, a2, a3, a4 = 8.5733287401, 18.0590169730, 8.6347608925, 0.2677737343
+    b1, b2, b3, b4 = 9.5733223454, 25.6329561486, 21.0996530827, 3.9584969228
+    xb = jnp.maximum(xs, 1.0)
+    num = ((((xb + a1) * xb + a2) * xb + a3) * xb) + a4
+    den = ((((xb + b1) * xb + b2) * xb + b3) * xb) + b4
+    big = jnp.exp(-xb) / xb * num / den
+    return jnp.where(xs <= 1.0, small, big)
+
+
+@_exp1_f32.defjvp
+def _exp1_f32_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    xs = jnp.maximum(x, jnp.asarray(1e-30, x.dtype))
+    return _exp1_f32(x), dx * (-jnp.exp(-xs) / xs)
+
+
 def exp1(x: Array) -> Array:
     r"""Exponential integral :math:`E_1(x) = \int_x^\infty e^{-t}/t\,dt` for x > 0.
 
-    Thin alias of :func:`jax.scipy.special.exp1`, which is differentiable
-    (:math:`dE_1/dx = -e^{-x}/x`) — the reference needed a hand-written
-    ``autograd.Function`` for this (``lib/math.py:16-76``).
+    Differentiable (:math:`dE_1/dx = -e^{-x}/x`) — the reference needed a
+    hand-written ``autograd.Function`` for this (``lib/math.py:16-76``).
+    float64 rides :func:`jax.scipy.special.exp1`; float32 — the fast-path
+    dtype, where that function's ``while_loop`` serializes TPU vector
+    lanes — uses the A&S rational forms (:func:`_exp1_f32`), accurate to
+    ~2e-7 absolute (at/below f32 roundoff of the downstream filters).
 
     Example
     -------
@@ -72,6 +114,9 @@ def exp1(x: Array) -> Array:
     >>> print(f"{float(exp1(jnp.asarray(1.0))):.6f}")  # E1(1) = 0.219384...
     0.219384
     """
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float32:
+        return _exp1_f32(x)
     return _jsp.exp1(x)
 
 
