@@ -157,6 +157,23 @@ def main():
     run, init = chain(body_pme, rows0)
     timed(f"PME energy+force /step (nodes={nodes}, mesh={ns_m[0]}^3)", run, init)
 
+    # ---- IPL p=3 (dispersion-like) at the monopole-tuned parameters -----
+    # (exercises the closed-form gammainc window + the f32 exp1 k-filter)
+    calc_ipl = tpme.PMECalculator(
+        tpme.InversePowerLawPotential(exponent=3, smearing=sm),
+        mesh_spacing=sp,
+        interpolation_nodes=nodes,
+    )
+    fp_ipl = tpme.MDFastPath.create(calc_ipl, pos, cell_j, CUTOFF, ns_m)
+    rows0 = fp_ipl.bucket(pos)
+
+    def body_ipl(r):
+        e, g = jax.value_and_grad(lambda rr: fp_ipl.energy(q, cell_j, rr))(r)
+        return r - 1e-9 * g
+
+    run, init = chain(body_ipl, rows0)
+    timed("IPL 1/r^3 energy+force /step (monopole-tuned params)", run, init)
+
     # ---- dipolar PME at the monopole-tuned mesh parameters --------------
     rng = np.random.default_rng(1)
     mu = jnp.asarray(rng.normal(size=(N_ATOMS, 3)), dtype)
