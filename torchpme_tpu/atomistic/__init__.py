@@ -9,9 +9,13 @@ triplets, xyz vector components, distance property), and return a
 :class:`LabeledValues` block keyed by ``charges_channel``.
 
 metatensor-jax does not exist at the time of writing, so the containers are
-lightweight pytree dataclasses; ``System.from_metatensor`` /
-``LabeledValues.to_metatensor`` hooks can be added when an upstream JAX
-metatensor materializes.
+lightweight pytree dataclasses.  Boundary converters to/from REAL metatensor
+objects live in :mod:`torchpme_tpu.atomistic.convert`
+(:func:`system_from_metatensor`, :func:`neighborlist_from_metatensor`,
+:func:`labeled_to_metatensor`) — importable without metatensor installed,
+active when ``metatensor.torch``/``metatomic.torch`` (or the numpy core
+API) is present.  See that module's docstring for the environment note on
+why the packages themselves cannot be installed on this machine.
 """
 
 from .calculator import (
@@ -23,6 +27,12 @@ from .calculator import (
     PMECalculator,
     System,
 )
+from .convert import (
+    labeled_to_metatensor,
+    metatensor_backend,
+    neighborlist_from_metatensor,
+    system_from_metatensor,
+)
 
 __all__ = [
     "Calculator",
@@ -32,4 +42,8 @@ __all__ = [
     "P3MCalculator",
     "PMECalculator",
     "System",
+    "labeled_to_metatensor",
+    "metatensor_backend",
+    "neighborlist_from_metatensor",
+    "system_from_metatensor",
 ]

@@ -193,6 +193,13 @@ class PMECalculatorDipole(CalculatorDipole):
         dtype = positions.dtype
         inverse_cell = inv3(cell)
         use_tiled = self._use_tiled(ns)
+        if tiled_interp is not None and not use_tiled:
+            raise ValueError(
+                "a `tiled_interp` bucketing was supplied but the tiled mesh "
+                "backend is not selected (mesh_backend="
+                f"{self.mesh_backend!r}, ns={ns}); pass mesh_backend='tiled' "
+                "or drop the bucketing"
+            )
         mesh_valid = None
         if use_tiled:
             import jax.core as _core

@@ -40,7 +40,7 @@ def inv3(cell: Array) -> Array:
     -------
     >>> import jax.numpy as jnp
     >>> m = jnp.asarray([[2.0, 0, 0], [1, 3, 0], [0, 1, 4]])
-    >>> print(bool(jnp.allclose(inv3(m) @ m, jnp.eye(3), atol=1e-12)))
+    >>> print(bool(jnp.allclose(inv3(m) @ m, jnp.eye(3), atol=1e-6)))
     True
     """
     r0, r1, r2 = cell[0], cell[1], cell[2]
@@ -88,7 +88,11 @@ def _exp1_f32(x: Array) -> Array:
     num = ((((xb + a1) * xb + a2) * xb + a3) * xb) + a4
     den = ((((xb + b1) * xb + b2) * xb + b3) * xb) + b4
     big = jnp.exp(-xb) / xb * num / den
-    return jnp.where(xs <= 1.0, small, big)
+    result = jnp.where(xs <= 1.0, small, big)
+    # domain edge: E1(x) → +inf as x → 0⁺ and is undefined for x ≤ 0; match
+    # the float64 path (jax.scipy exp1 returns inf at 0) instead of silently
+    # returning the clamped finite value
+    return jnp.where(x > 0.0, result, jnp.asarray(jnp.inf, x.dtype))
 
 
 @_exp1_f32.defjvp
