@@ -286,3 +286,72 @@ def test_reference_parity_ewald_tight():
     e_ref = float(torch.sum(ref(q, tc, tp, idx_t, d) * q))
     e_ours = float(torch.sum(ours(q, tc, tp, idx_t, d) * q))
     assert abs(e_ours - e_ref) < 1e-9 * max(1.0, abs(e_ref))
+
+
+@pytest.mark.parametrize(
+    "family,nodes",
+    [("PME", 4), ("PME", 5), ("P3M", 3), ("P3M", 4)],
+)
+def test_reference_parity_mesh_same_discretization(family, nodes):
+    """Mesh-calculator parity at the reference's EXACT discretization.
+
+    ``test_reference_parity_pme`` compares at method accuracy (5e-3) because
+    the default mesh sizings differ (power-of-2 + DFT-by-matmul vs rfftn).
+    Here we force OUR calculator onto the reference's own discretization —
+    its ``get_ns_mesh`` result, the same Lagrange/P3M node count, the
+    ``rfftn`` backend, scatter spreading — in float64, which pins the mesh
+    path ours-vs-reference at machine precision (≤1e-12, far inside the
+    1e-5 drop-in-replacement target).  Reference:
+    ``/root/reference/src/torchpme/calculators/pme.py:88-143``,
+    ``calculators/p3m.py``."""
+    torchpme = _import_reference()
+    from torchpme.lib import get_ns_mesh as ref_get_ns
+
+    positions, charges, cell, idx, dist, shifts = _system(n=16, seed=11)
+    smearing, spacing = 0.9, 0.45
+    ref_cls = getattr(torchpme, f"{family}Calculator")
+    ours_cls = getattr(tpme, f"{family}Calculator")
+    ref = ref_cls(
+        torchpme.CoulombPotential(smearing=smearing),
+        mesh_spacing=spacing,
+        interpolation_nodes=nodes,
+    ).to(torch.float64)
+    ours = ours_cls(
+        tpme.CoulombPotential(smearing=smearing),
+        mesh_spacing=spacing,
+        interpolation_nodes=nodes,
+        fft_backend="fft",
+        mesh_backend="scatter",
+    )
+    ns = tuple(int(x) for x in ref_get_ns(torch.as_tensor(cell), spacing))
+
+    tp = torch.tensor(positions, requires_grad=True)
+    tc = torch.as_tensor(cell)
+    idx_t = torch.as_tensor(idx)
+    vec = tp[idx_t[:, 1]] - tp[idx_t[:, 0]] + torch.as_tensor(
+        shifts.astype(np.float64)
+    ) @ tc
+    d = torch.linalg.norm(vec, dim=-1)
+    q = torch.as_tensor(charges)
+    e_ref_t = torch.sum(ref(q, tc, tp, idx_t, d) * q)
+    e_ref_t.backward()
+    e_ref, f_ref = float(e_ref_t.detach()), tp.grad.numpy()
+
+    def e_jax(p):
+        v = (
+            p[idx[:, 1]]
+            - p[idx[:, 0]]
+            + jnp.asarray(shifts, p.dtype) @ jnp.asarray(cell)
+        )
+        dd = jnp.linalg.norm(v, axis=-1)
+        return jnp.sum(
+            ours(jnp.asarray(charges), jnp.asarray(cell), p,
+                 jnp.asarray(idx), dd, ns_mesh=ns)
+            * jnp.asarray(charges)
+        )
+
+    e_ours, f_ours = jax.value_and_grad(e_jax)(jnp.asarray(positions))
+    assert abs(float(e_ours) - e_ref) < 1e-12 * max(1.0, abs(e_ref))
+    np.testing.assert_allclose(
+        np.asarray(f_ours), f_ref, atol=1e-12 * float(np.abs(f_ref).max())
+    )
