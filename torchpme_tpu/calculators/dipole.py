@@ -165,6 +165,50 @@ class CalculatorDipole:
         )
         return energy / 2
 
+    def _compute_kspace_energy(
+        self,
+        dipoles: Array,
+        cell: Array,
+        positions: Array,
+        kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+    ) -> Array:
+        r"""Total k-space energy :math:`\sum_i \vec V_i^{LR}\cdot\vec\mu_i`
+        as a quadratic form — the dipolar counterpart of
+        :meth:`EwaldCalculator._compute_kspace_energy`.
+
+        The dipolar structure factor is :math:`S(k) = \sum_j
+        (\vec\mu_j\cdot\vec k)\,e^{ik\cdot r_j}`, so the per-atom field
+        contracted with the dipoles collapses to
+        :math:`\frac1{2V}\sum_k \hat v(k)\,|S(k)|^2` plus the self and
+        background corrections — no second :math:`O(N\cdot n_k)`
+        contraction back onto atoms.  Matches
+        ``sum(_compute_kspace(...) * dipoles)`` exactly.
+        """
+        if kvectors is None:
+            if ns_kvectors is not None:
+                kvectors = generate_kvectors_for_ewald(
+                    cell, tuple(int(n) for n in ns_kvectors)
+                )
+            else:
+                kvectors = self.compute_kvectors(cell)
+        knorm_sq = jnp.sum(kvectors**2, axis=-1)
+        g_kernel = self.potential.lr_from_k_sq(knorm_sq)
+        trig_args = jnp.matmul(kvectors, positions.T, precision="highest")
+        trig = jnp.stack([jnp.cos(trig_args), jnp.sin(trig_args)])  # (2, n_k, N)
+        mu_k = jnp.matmul(dipoles, kvectors.T, precision="highest")  # (N, n_k)
+        structure = jnp.einsum(
+            "fki,ik->fk", trig, mu_k, precision="highest"
+        )  # (2, n_k)
+        volume = jnp.abs(jnp.linalg.det(cell))
+        quad = jnp.sum(g_kernel * jnp.sum(structure**2, axis=0)) / volume
+        e = quad - self.potential.self_contribution() * jnp.sum(dipoles**2)
+        mu_tot = jnp.sum(dipoles, axis=0)
+        e = e + self.potential.background_correction(volume) * jnp.sum(
+            mu_tot**2
+        )
+        return e / 2
+
     def energy(
         self,
         dipoles: Array,
@@ -223,14 +267,13 @@ class CalculatorDipole:
             e_sr = jnp.sum(pot_sr * dipoles)
         if self.potential.smearing is None:
             return e_sr
-        pot_lr = self._compute_kspace(
+        return e_sr + self._compute_kspace_energy(
             dipoles=dipoles,
             cell=cell,
             positions=positions,
             kvectors=kvectors,
             ns_kvectors=ns_kvectors,
         )
-        return e_sr + jnp.sum(pot_lr * dipoles)
 
     def __call__(
         self,

@@ -39,6 +39,7 @@ from ..ops.kspace import (
     apply_kspace_filter,
     apply_kspace_filter_dft,
     compute_kspace_filter,
+    kspace_filter_quadratic_dft,
 )
 from ..ops.kvectors import get_ns_mesh
 from ..ops.mesh import (
@@ -171,15 +172,21 @@ class PMECalculatorDipole(CalculatorDipole):
 
         return max(ns_mesh) <= 256 and _jax.default_backend() not in ("cpu",)
 
-    def _compute_kspace(
+    def _dipole_mesh_density(
         self,
         dipoles: Array,
         cell: Array,
         positions: Array,
-        kvectors: Array | None = None,
-        ns_kvectors: tuple[int, int, int] | None = None,
-        tiled_interp=None,
-    ) -> Array:
+        kvectors: Array | None,
+        ns_kvectors: tuple[int, int, int] | None,
+        tiled_interp,
+    ):
+        """Shared spread half of the k-space paths: the gradient-spread mesh
+        density :math:`Q(m) = \\sum_j \\vec\\mu_j\\cdot\\nabla W_j(m)`.
+
+        Returns ``(q_mesh, interp, interp_t, mesh_valid, use_tiled, ns_arr,
+        inverse_cell, ns)`` — ``interp``/``interp_t`` is whichever backend
+        produced the density (the other is None)."""
         if kvectors is not None:
             raise ValueError(
                 "PMECalculatorDipole takes `ns_kvectors` (the mesh shape), "
@@ -201,6 +208,7 @@ class PMECalculatorDipole(CalculatorDipole):
                 "or drop the bucketing"
             )
         mesh_valid = None
+        interp = interp_t = ns_arr = None
         if use_tiled:
             import jax.core as _core
 
@@ -255,6 +263,26 @@ class PMECalculatorDipole(CalculatorDipole):
                 self._method,
             )
             q_mesh = dipoles_to_mesh(interp, dipoles.astype(dtype))
+        return (
+            q_mesh, interp, interp_t, mesh_valid, use_tiled, ns_arr,
+            inverse_cell, ns,
+        )
+
+    def _compute_kspace(
+        self,
+        dipoles: Array,
+        cell: Array,
+        positions: Array,
+        kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+        tiled_interp=None,
+    ) -> Array:
+        (
+            q_mesh, interp, interp_t, mesh_valid, use_tiled, ns_arr,
+            inverse_cell, ns,
+        ) = self._dipole_mesh_density(
+            dipoles, cell, positions, kvectors, ns_kvectors, tiled_interp
+        )
         kfilter = compute_kspace_filter(self.potential.lr_from_k_sq, cell, ns)
         if self._use_dft(ns):
             filtered = apply_kspace_filter_dft(q_mesh, kfilter)
@@ -278,6 +306,52 @@ class PMECalculatorDipole(CalculatorDipole):
             dipoles, axis=0
         )
         return field / 2
+
+    def _compute_kspace_energy(
+        self,
+        dipoles: Array,
+        cell: Array,
+        positions: Array,
+        kvectors: Array | None = None,
+        ns_kvectors: tuple[int, int, int] | None = None,
+        tiled_interp=None,
+    ) -> Array:
+        r"""Total k-space energy :math:`\sum_i \vec V_i^{LR}\cdot\vec\mu_i`
+        as the Parseval quadratic form on the gradient-spread mesh — the
+        dipolar counterpart of :meth:`PMECalculator._compute_kspace_energy`.
+
+        Because the gather stencil is the exact transpose of the spread,
+        :math:`\sum_i \vec\mu_i\cdot\vec E_i = \langle Q, K\circledast Q
+        \rangle/V`, evaluated directly in k-space
+        (:func:`~torchpme_tpu.ops.kspace.kspace_filter_quadratic_dft`): no
+        inverse transform and no mesh→points gather in the forward, and
+        autodiff's backward is one inverse DFT instead of two full round
+        trips.  Matches ``sum(_compute_kspace(...) * dipoles)`` exactly.
+        """
+        (
+            q_mesh, _interp, _interp_t, mesh_valid, use_tiled, _ns_arr,
+            _inverse_cell, ns,
+        ) = self._dipole_mesh_density(
+            dipoles, cell, positions, kvectors, ns_kvectors, tiled_interp
+        )
+        kfilter = compute_kspace_filter(self.potential.lr_from_k_sq, cell, ns)
+        volume = jnp.abs(jnp.linalg.det(cell))
+        if self._use_dft(ns):
+            quad = kspace_filter_quadratic_dft(q_mesh, kfilter) / volume
+        else:
+            filtered = apply_kspace_filter(
+                q_mesh, kfilter, fft_norm="backward", ifft_norm="forward"
+            )
+            quad = jnp.sum(q_mesh * filtered) / volume
+        if use_tiled:
+            # stale/overflowed bucketing poisons the energy and every gradient
+            quad = quad * jnp.where(mesh_valid, 1.0, jnp.nan)
+        e = quad - self.potential.self_contribution() * jnp.sum(dipoles**2)
+        mu_tot = jnp.sum(dipoles, axis=0)
+        e = e + self.potential.background_correction(volume) * jnp.sum(
+            mu_tot**2
+        )
+        return e / 2
 
     def _use_tiled(self, ns) -> bool:
         if self.mesh_backend == "tiled":

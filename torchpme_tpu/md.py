@@ -594,25 +594,27 @@ class MDFastPathDipole:
         if self.tiled is not None:
             # tiled dipolar mesh with bucket reuse: dipoles stay atom-order
             # (the tile slots map atoms), pos_rows feed only the per-step
-            # weight refresh (row-id slots, exactly like MDFastPath)
-            field = self.calc._compute_kspace(
+            # weight refresh (row-id slots, exactly like MDFastPath).  The
+            # Parseval quadratic form skips the inverse DFT AND the
+            # mesh→points gather of the field formulation.
+            e_k = self.calc._compute_kspace_energy(
                 dipoles.astype(dtype),
                 cell,
                 pos_rows,
                 ns_kvectors=self.ns_kvectors,
                 tiled_interp=self.tiled,
             )
-            return e_sr + jnp.sum(field * dipoles.astype(dtype))
+            return e_sr + e_k
         # dipole rows (position-independent: hoisted out of MD loops whose
         # dipoles are constant); padded rows get mu = 0 and drop out of
         # every k-space term
         mu_rows = jnp.zeros((self.n_rows, 3), dtype).at[
             self.row_of_atom
         ].set(dipoles.astype(dtype))
-        pot_rows = self.calc._compute_kspace(
+        e_k = self.calc._compute_kspace_energy(
             mu_rows, cell, pos_rows, ns_kvectors=self.ns_kvectors
         )
-        return e_sr + jnp.sum(pot_rows * mu_rows)
+        return e_sr + e_k
 
 
 @jax.tree_util.register_dataclass
