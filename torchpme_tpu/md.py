@@ -100,6 +100,60 @@ def _resolve_window_impl(
     return window_impl
 
 
+def _extras_tile_table(positions, cell, clist, ns_mesh, nodes, method):
+    """Tile bucketing of the spill side-list rows (host, eager).
+
+    The aligned MD state spreads its cell rows as mesh-tile slots; the spill
+    extras are not tile slots, and the generic scatter fallback costs ~2 ms
+    per step at ~1k extras on a v5e (XLA scatter serializes on TPU).  This
+    builds a small extras-only :class:`TiledInterpolation` over the
+    side-list row layout (``pos_rows[nb:]``), so the per-step extras spread
+    is a weight refresh + tile GEMM.
+
+    Padded side-list slots are parked along the cell diagonal for the
+    bucketing (so no tile overflows on them) and then marked EMPTY —
+    ``atom_of_slot`` sentinel, trash ``slot_of_atom`` — which exempts them
+    from the refresh staleness check and zeroes their weights, exactly like
+    unoccupied tile slots.
+    """
+    e_idx = np.asarray(clist.extra_index)
+    e_msk = np.asarray(clist.extra_mask)
+    e_pad = int(e_idx.shape[0])
+    pos = np.asarray(positions)
+    cell_np = np.asarray(cell)
+    frac = ((np.arange(e_pad) + 0.5) / e_pad).astype(pos.dtype)
+    parked = frac[:, None] * cell_np.sum(axis=0)[None, :]
+    ext_pos = np.where(e_msk[:, None], pos[e_idx], parked)
+
+    interp = compute_tiled_interpolation(
+        jnp.asarray(ext_pos),
+        inv3(jnp.asarray(cell)),
+        ns_mesh,
+        nodes,
+        method,
+    )
+    if int(interp.dropped):
+        raise ValueError(
+            f"{int(interp.dropped)} spill extras exceeded the extras tile "
+            "capacity (unexpected: the auto capacity counts exact occupancy)"
+        )
+    n_tiles, capacity = interp.local_x.shape
+    aos = np.asarray(interp.atom_of_slot)
+    # slots holding parked padding become empty (sentinel = e_pad)
+    phantom = np.concatenate([~e_msk, [True]])[np.minimum(aos, e_pad)]
+    aos = np.where(phantom, e_pad, aos).astype(np.int32)
+    soa = np.asarray(interp.slot_of_atom)
+    soa = np.where(e_msk, soa, n_tiles * capacity).astype(np.int32)
+    weights = np.asarray(interp.weights).copy()
+    weights[phantom] = 0.0
+    return replace(
+        interp,
+        atom_of_slot=jnp.asarray(aos),
+        slot_of_atom=jnp.asarray(soa),
+        weights=jnp.asarray(weights),
+    )
+
+
 def _row_mapping(clist: CellList, n_atoms: int) -> tuple[np.ndarray, int]:
     """Bucket-row id of every atom (spill extras appended after the cell
     rows), host-side."""
@@ -171,6 +225,10 @@ class MDFastPath:
     #: "xla" (roll/matmul window) or "pallas" (fused VMEM pair kernel) for
     #: the real-space engine; see ops.rspace_cells._window_spec
     window_impl: str = field(metadata=dict(static=True), default="xla")
+    #: extras-only tile bucketing ("aligned" + spill only): spreads the
+    #: side-list atoms by refresh + tile GEMM instead of the per-step XLA
+    #: scatter (measured ~2 ms at 932 extras on a v5e)
+    extras_tiled: TiledInterpolation | None = None
 
     @classmethod
     def create(
@@ -184,6 +242,7 @@ class MDFastPath:
         tile_capacity: int | None = None,
         mesh_impl: str = "auto",
         window_impl: str = "auto",
+        extras_impl: str = "auto",
         _spill: bool | None = None,
     ) -> "MDFastPath":
         """Bucket ``positions`` for ``calc`` (host-side, eager).
@@ -208,6 +267,12 @@ class MDFastPath:
             resolves to it — its retired Pallas variant lost the hardware
             A/B for every potential family, see
             :mod:`torchpme_tpu.ops.pallas.window_pallas`).
+        :param extras_impl: mesh spread of the spill side list in aligned
+            mode: ``"scatter"`` (generic per-step scatter), ``"tiled"``
+            (extras-only tile table: refresh + GEMM), or ``"auto"``
+            (tiled from ~512 extras up — the measured v5e crossover
+            between the scatter's per-extra cost and the table's fixed
+            refresh cost).
         """
         from .ops.mesh_tiled import supports_tiling
 
@@ -283,12 +348,39 @@ class MDFastPath:
         n_atoms = int(np.asarray(positions).shape[0])
         row_of_atom, n_rows = _row_mapping(clist, n_atoms)
 
+        if extras_impl not in ("auto", "tiled", "scatter"):
+            raise ValueError(
+                f"`extras_impl` is {extras_impl!r} but must be 'auto', "
+                "'tiled' or 'scatter'"
+            )
         if mesh_impl == "aligned":
-            # no tile bucketing at all: cell rows ARE the tile slots
+            # no tile bucketing at all: cell rows ARE the tile slots.  A
+            # LARGE spill side list gets its own small tile table so its
+            # mesh spread is a refresh + tile GEMM instead of a per-step
+            # scatter (v5e, 131k box, 932 extras: saves ~2.1 ms/step); below
+            # ~512 extras the scatter is cheaper than the table's fixed
+            # refresh+VJP cost (~1 ms), so "auto" keeps it.
             tiled = None
             cell_grid = (*clist.n_axis, cap)
+            n_extras_real = (
+                int(np.asarray(clist.extra_mask).sum())
+                if clist.extra_mask is not None
+                else 0
+            )
+            use_extras_tiled = extras_impl == "tiled" or (
+                extras_impl == "auto" and n_extras_real >= 512
+            )
+            extras_tiled = (
+                _extras_tile_table(
+                    positions, cell, clist, ns_mesh,
+                    calc.interpolation_nodes, calc._method,
+                )
+                if clist.extra_index is not None and use_extras_tiled
+                else None
+            )
         else:
             cell_grid = None
+            extras_tiled = None
             tiled = compute_tiled_interpolation(
                 jnp.asarray(positions),
                 inv3(jnp.asarray(cell)),
@@ -320,6 +412,7 @@ class MDFastPath:
             mesh_impl=mesh_impl,
             cell_grid=cell_grid,
             window_impl=window_impl,
+            extras_tiled=extras_tiled,
         )
 
     @staticmethod
@@ -410,6 +503,7 @@ class MDFastPath:
                 self.calc.interpolation_nodes,
                 self.calc._method,
                 self.cell_grid,
+                extras_interp=self.extras_tiled,
             )
             # mesh staleness is implied by cell-list staleness (an atom in
             # its cell keeps its stencil in the tile window), which already

@@ -453,6 +453,7 @@ def aligned_tiled_density(
     nodes: int,
     method: str,
     cell_grid: tuple[int, int, int, int],
+    extras_interp=None,
 ) -> Array:
     """Charge density mesh straight from tile-ALIGNED bucket rows — no
     per-step gather in either direction.
@@ -473,6 +474,13 @@ def aligned_tiled_density(
         cell rows, then the spill side list).
     :param q_rows: ``(n_rows, C)`` charges in the same layout (0 in padding).
     :param cell_grid: ``(nx_c, ny_c, nz_c, cap)`` of the aligned cell list.
+    :param extras_interp: optional extras-only
+        :class:`~torchpme_tpu.ops.mesh_tiled.TiledInterpolation` over the
+        side-list rows (``pos_rows[nb:]``).  When given, the spill atoms
+        spread via a per-step weight refresh + tile GEMM instead of the
+        generic XLA scatter (which costs ~2 ms/step at 932 extras on a v5e
+        — scatter serializes on TPU); a stale extras bucketing NaN-poisons
+        the density.
     :return: ``(C, nx, ny, nz)`` density mesh.
     """
     nx_c, ny_c, nz_c, cap = cell_grid
@@ -509,14 +517,27 @@ def aligned_tiled_density(
         rho = jnp.roll(rho, (-lpad, -lpad), axis=(1, 2))
 
     if pos_rows.shape[0] > nb:
-        # spill side list: a handful of atoms, generic scatter spread (their
-        # stencils are recomputed from scratch each step — no staleness)
-        from ..mesh import compute_interpolation, points_to_mesh
+        if extras_interp is not None:
+            from ..mesh_tiled import (
+                refresh_tiled_interpolation,
+                tiled_points_to_mesh,
+            )
 
-        interp_e = compute_interpolation(
-            pos_rows[nb:], inverse_cell, ns, nodes, method
-        )
-        rho = rho + points_to_mesh(interp_e, q_rows[nb:])
+            refreshed, valid = refresh_tiled_interpolation(
+                extras_interp, pos_rows[nb:], inverse_cell, method
+            )
+            rho_e = tiled_points_to_mesh(refreshed, q_rows[nb:])
+            rho = rho + rho_e * jnp.where(valid, 1.0, jnp.nan)
+        else:
+            # spill side list: a handful of atoms, generic scatter spread
+            # (their stencils are recomputed from scratch each step — no
+            # staleness)
+            from ..mesh import compute_interpolation, points_to_mesh
+
+            interp_e = compute_interpolation(
+                pos_rows[nb:], inverse_cell, ns, nodes, method
+            )
+            rho = rho + points_to_mesh(interp_e, q_rows[nb:])
     return rho
 
 
