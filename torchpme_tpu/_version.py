@@ -1,2 +1,2 @@
-__version__ = "0.1.0"
-__version_tuple__ = (0, 1, 0)
+__version__ = "0.5.0"
+__version_tuple__ = (0, 5, 0)
