@@ -324,3 +324,83 @@ def test_brute_force_neighbor_list_handles_unwrapped_positions():
     idx_w, dist_w, _ = neighbor_list(wrapped, np.asarray(cell), 2.7, full_list=True)
     assert idx.shape == idx_w.shape
     np.testing.assert_allclose(np.sort(dist), np.sort(dist_w), atol=1e-10)
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_balanced_matches_neighbor_list(triclinic):
+    """Overflow-balanced bucketing (atoms assigned up to the slack outside
+    their cell) must reproduce the plain cell-list energy and gradients
+    exactly: assignment only relabels which window covers a pair."""
+    positions, charges, cell = _system(11, 500, 16.0, triclinic, spread=2.0)
+    pot = tpme.CoulombPotential(smearing=1.0)
+    cutoff = 3.5  # 4 cells per axis, edge ~4: slack ~0.25 per axis
+    cl_ref = compute_cell_list(positions, cell, cutoff)
+
+    def e_fn(clist, p, q, c):
+        return cell_list_rspace_energy(pot, q, p, c, clist)
+
+    e_ref, grads_ref = jax.value_and_grad(
+        lambda p, q, c: e_fn(cl_ref, p, q, c), argnums=(0, 1, 2)
+    )(positions, charges, cell)
+
+    for cap in (None, 8):
+        cl_b = compute_cell_list(
+            positions, cell, cutoff,
+            capacity=cap, spill=True if cap else None, balance=True,
+        )
+        assert max(cl_b.slack) > 0.0
+        e_b, grads_b = jax.value_and_grad(
+            lambda p, q, c: e_fn(cl_b, p, q, c), argnums=(0, 1, 2)
+        )(positions, charges, cell)
+        np.testing.assert_allclose(float(e_b), float(e_ref), rtol=1e-12)
+        for g_b, g_r in zip(grads_b, grads_ref):
+            np.testing.assert_allclose(
+                np.asarray(g_b), np.asarray(g_r), atol=1e-11
+            )
+
+
+def test_balanced_reduces_overflow():
+    """Balancing at a tight capacity absorbs overflow that would spill."""
+    positions, charges, cell = _system(12, 700, 16.0, False)
+    cutoff = 3.5
+    cl_plain = compute_cell_list(positions, cell, cutoff, capacity=8, spill=True)
+    cl_bal = compute_cell_list(
+        positions, cell, cutoff, capacity=8, spill=True, balance=True
+    )
+
+    def n_extras(cl):
+        return 0 if cl.extra_mask is None else int(np.asarray(cl.extra_mask).sum())
+
+    assert n_extras(cl_bal) < n_extras(cl_plain)
+    # every atom still bucketed exactly once (cells + spill side list)
+    seen = np.asarray(cl_bal.atom_index)[np.asarray(cl_bal.slot_mask)]
+    if cl_bal.extra_index is not None:
+        seen = np.concatenate(
+            [seen, np.asarray(cl_bal.extra_index)[np.asarray(cl_bal.extra_mask)]]
+        )
+    np.testing.assert_array_equal(np.sort(seen), np.arange(len(positions)))
+
+
+def test_balanced_staleness_bound():
+    """The staleness guard widens to the per-axis slack: drift just inside
+    the widened bound stays finite, just past it NaN-poisons."""
+    positions, charges, cell = _system(13, 400, 16.0, False)
+    pot = tpme.CoulombPotential(smearing=1.0)
+    cl = compute_cell_list(positions, cell, cutoff=3.5, balance=True)
+    nx, ny, nz = cl.n_axis
+    edge = 16.0 / nx
+    aidx, msk = np.asarray(cl.atom_index), np.asarray(cl.slot_mask)
+    c, s = np.argwhere((aidx == 0) & msk)[0]
+    c3 = np.array([c // (ny * nz), (c // nz) % ny, c % nz])
+    center = (c3 + 0.5) / np.array([nx, ny, nz]) * 16.0
+
+    def energy_at(x_off):
+        target = center.copy()
+        target[0] += x_off
+        p = positions.at[0].set(jnp.asarray(target))
+        return float(cell_list_rspace_energy(pot, charges, p, cell, cl))
+
+    inside = (0.5 + cl.slack[0]) * edge - 0.02
+    outside = (0.5 + cl.slack[0]) * edge + 0.02
+    assert np.isfinite(energy_at(inside))
+    assert np.isnan(energy_at(outside))

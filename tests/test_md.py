@@ -335,3 +335,51 @@ def test_md_fastpath_ewald_rejects_mesh_calculator(system):
         tpme.MDFastPathEwald.create(
             _ewald_calc(), positions, cell, EWALD_CUTOFF, window_impl="bogus"
         )
+
+
+def test_md_fastpath_aligned_balance():
+    """Aligned mode overflow-balances by default: the capacity drops below
+    the unbalanced choice (window work scales with capacity²) while the
+    step's values and forces stay exact, and rebucketing preserves the
+    balanced shapes (compiled-step reuse)."""
+    rng = np.random.default_rng(7)
+    n, box, cutoff = 360, 14.0, 3.0
+    cell = jnp.asarray(np.eye(3) * box, jnp.float32)
+    positions = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    charges = jnp.asarray(
+        np.tile([1.0, -1.0], n // 2).reshape(-1, 1), jnp.float32
+    )
+    calc = tpme.PMECalculator(
+        tpme.CoulombPotential(smearing=1.0), mesh_spacing=0.9,
+        interpolation_nodes=4,
+    )
+    ns = (32, 32, 32)
+    fp_b = tpme.MDFastPath.create(
+        calc, positions, cell, cutoff, ns, mesh_impl="aligned"
+    )
+    fp_p = tpme.MDFastPath.create(
+        calc, positions, cell, cutoff, ns, mesh_impl="aligned", balance=False
+    )
+    assert max(fp_b.clist.slack) > 0.0 and fp_b.aligned_pad >= 1
+    assert max(fp_p.clist.slack) == 0.0 and fp_p.aligned_pad == 0
+    assert (
+        fp_b.clist.slot_mask.shape[1] <= fp_p.clist.slot_mask.shape[1]
+    )
+    out = {}
+    for tag, fp in (("bal", fp_b), ("plain", fp_p)):
+        rows = fp.bucket(positions)
+        e, g = jax.jit(jax.value_and_grad(fp.energy, argnums=2))(
+            charges, cell, rows
+        )
+        out[tag] = (float(e), np.asarray(fp.unbucket(g)))
+    e_b, f_b = out["bal"]
+    e_p, f_p = out["plain"]
+    np.testing.assert_allclose(e_b, e_p, rtol=2e-6)
+    scale = np.max(np.abs(f_p))
+    np.testing.assert_allclose(f_b / scale, f_p / scale, atol=2e-6)
+
+    # rebucket keeps the balanced capacity and slack (stable shapes)
+    fp_r = fp_b.rebucket(fp_b.bucket(positions), cell)
+    assert fp_r.clist.slot_mask.shape == fp_b.clist.slot_mask.shape
+    assert fp_r.clist.slack == fp_b.clist.slack
+    assert fp_r.aligned_pad == fp_b.aligned_pad

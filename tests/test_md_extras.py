@@ -41,7 +41,8 @@ def test_aligned_extras_matches_reference(spilled_system, extras_impl):
     )
     fp = tpme.MDFastPath.create(
         calc, pos, cell, cutoff, ns, mesh_impl="aligned",
-        cell_capacity=8, extras_impl=extras_impl, _spill=True,
+        cell_capacity=8, extras_impl=extras_impl, balance=False,
+        _spill=True,
     )
     assert int(np.asarray(fp.clist.extra_mask).sum()) > 0
     assert (fp.extras_tiled is not None) == (extras_impl == "tiled")
@@ -81,7 +82,8 @@ def test_aligned_extras_backends_agree(spilled_system):
     for impl in ("scatter", "tiled"):
         fp = tpme.MDFastPath.create(
             calc, pos, cell, cutoff, ns, mesh_impl="aligned",
-            cell_capacity=8, extras_impl=impl, _spill=True,
+            cell_capacity=8, extras_impl=impl, balance=False,
+            _spill=True,
         )
         energies[impl] = float(fp.energy(q, cell, fp.bucket(pos)))
     np.testing.assert_allclose(
@@ -97,7 +99,8 @@ def test_aligned_extras_stale_poisons(spilled_system):
     )
     fp = tpme.MDFastPath.create(
         calc, pos, cell, cutoff, ns, mesh_impl="aligned",
-        cell_capacity=8, extras_impl="tiled", _spill=True,
+        cell_capacity=8, extras_impl="tiled", balance=False,
+        _spill=True,
     )
     rows = fp.bucket(pos)
     e_pad = np.asarray(fp.clist.extra_mask).shape[0]

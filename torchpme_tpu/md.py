@@ -229,6 +229,10 @@ class MDFastPath:
     #: side-list atoms by refresh + tile GEMM instead of the per-step XLA
     #: scatter (measured ~2 ms at 932 extras on a v5e)
     extras_tiled: TiledInterpolation | None = None
+    #: extra mesh cells on each side of the aligned spread window: the
+    #: overflow-balanced cell list assigns atoms up to the balance slack
+    #: outside their tile, so stencils reach correspondingly further
+    aligned_pad: int = field(metadata=dict(static=True), default=0)
 
     @classmethod
     def create(
@@ -243,6 +247,7 @@ class MDFastPath:
         mesh_impl: str = "auto",
         window_impl: str = "auto",
         extras_impl: str = "auto",
+        balance: str | bool = "auto",
         _spill: bool | None = None,
     ) -> "MDFastPath":
         """Bucket ``positions`` for ``calc`` (host-side, eager).
@@ -273,6 +278,15 @@ class MDFastPath:
             (tiled from ~512 extras up — the measured v5e crossover
             between the scatter's per-extra cost and the table's fixed
             refresh cost).
+        :param balance: overflow-balance the aligned cell list
+            (``compute_cell_list(balance=…)``): overfull cells shed atoms
+            within the per-axis slack ``(edge − cutoff)/2`` into neighbors
+            with room, so the capacity can sit near the mean occupancy
+            instead of covering the Poisson tail — at 102k atoms on a v5e
+            this cuts the window work from cap 32 to cap 24 (73M → 41M
+            candidate slots).  ``"auto"`` enables it in aligned mode when
+            the wider spread window fits the 2-tile fold (it always does
+            for nodes ≤ 5 when the slack is under one mesh cell per tile).
         """
         from .ops.mesh_tiled import supports_tiling
 
@@ -326,6 +340,11 @@ class MDFastPath:
             calc,
             mesh_backend="fused" if mesh_impl == "aligned" else mesh_impl,
         )
+        if balance not in ("auto", True, False):
+            raise ValueError(
+                f"`balance` is {balance!r} but must be 'auto', True or False"
+            )
+        aligned_pad = 0
         if mesh_impl == "aligned":
             if not cls._aligned_supported(cell, cutoff, ns_mesh):
                 raise ValueError(
@@ -335,14 +354,41 @@ class MDFastPath:
                     "'tiled' or 'fused')"
                 )
             from .ops.mesh_tiled import TILE
+            from .ops.pallas.spread_fused import aligned_geometry
 
+            # overflow balance: x/y slack capped so the widened spread
+            # window still fits the 2-tile fold; z slack is unconstrained
+            # on the mesh side (z stencil starts are unwindowed)
+            base_extent, _ = aligned_geometry(calc.interpolation_nodes)
+            pad_budget = (2 * TILE - base_extent) // 2
+            cell_np = np.asarray(cell, np.float64)
+            plane = 1.0 / np.linalg.norm(np.linalg.inv(cell_np), axis=0)
+            h_mesh = plane[:2] / np.asarray(ns_mesh[:2], np.float64)
+            use_balance = balance is True or (
+                balance == "auto" and pad_budget >= 1
+            )
+            bal_arg = (
+                (
+                    pad_budget * float(h_mesh[0]),
+                    pad_budget * float(h_mesh[1]),
+                    np.inf,
+                )
+                if use_balance
+                else False
+            )
             clist = compute_cell_list(
                 positions, cell, cutoff, capacity=cell_capacity, spill=_spill,
                 xy_cells=(ns_mesh[0] // TILE, ns_mesh[1] // TILE),
+                balance=bal_arg,
             )
+            # slack is stored in cell-edge units; one x/y cell is exactly
+            # TILE mesh cells, so the window widens by ceil(slack · TILE)
+            aligned_pad = int(np.ceil(max(clist.slack[:2]) * TILE - 1e-9))
+            assert aligned_pad <= pad_budget
         else:
             clist = compute_cell_list(
-                positions, cell, cutoff, capacity=cell_capacity, spill=_spill
+                positions, cell, cutoff, capacity=cell_capacity, spill=_spill,
+                balance=balance is True,
             )
         n_cells, cap = clist.slot_mask.shape
         n_atoms = int(np.asarray(positions).shape[0])
@@ -413,6 +459,7 @@ class MDFastPath:
             cell_grid=cell_grid,
             window_impl=window_impl,
             extras_tiled=extras_tiled,
+            aligned_pad=aligned_pad,
         )
 
     @staticmethod
@@ -465,6 +512,7 @@ class MDFastPath:
             ),
             mesh_impl=self.mesh_impl,
             window_impl=self.window_impl,
+            balance=max(self.clist.slack) > 0.0,
             _spill=self.clist.extra_index is not None,
         )
 
@@ -504,6 +552,7 @@ class MDFastPath:
                 self.calc._method,
                 self.cell_grid,
                 extras_interp=self.extras_tiled,
+                pad_cells=self.aligned_pad,
             )
             # mesh staleness is implied by cell-list staleness (an atom in
             # its cell keeps its stencil in the tile window), which already

@@ -262,12 +262,17 @@ def _tile_spec(extent, nz, n_ch):
     )
 
 
-def aligned_geometry(nodes: int) -> tuple[int, int]:
+def aligned_geometry(nodes: int, pad_cells: int = 0) -> tuple[int, int]:
     """(extent, lpad) of the position-bucketed local window: atoms anywhere
     in the tile, so the stencil can reach ``lpad`` cells left of the origin
-    and ``TILE - 1 + nodes//2 (+1 for the odd-round overshoot)`` right."""
-    lpad = (nodes - 1) // 2
-    extent = TILE + nodes - (1 if nodes % 2 == 0 else 0)
+    and ``TILE - 1 + nodes//2 (+1 for the odd-round overshoot)`` right.
+
+    ``pad_cells`` widens the window by that many mesh cells on each side:
+    overflow-balanced cell lists (``compute_cell_list(balance=True)``)
+    assign atoms up to the balance slack outside their cell/tile, so their
+    stencils reach correspondingly further."""
+    lpad = (nodes - 1) // 2 + pad_cells
+    extent = TILE + nodes - (1 if nodes % 2 == 0 else 0) + 2 * pad_cells
     return extent, lpad
 
 
@@ -454,6 +459,7 @@ def aligned_tiled_density(
     method: str,
     cell_grid: tuple[int, int, int, int],
     extras_interp=None,
+    pad_cells: int = 0,
 ) -> Array:
     """Charge density mesh straight from tile-ALIGNED bucket rows — no
     per-step gather in either direction.
@@ -500,7 +506,13 @@ def aligned_tiled_density(
     n_tiles = nx_c * ny_c
     kp = nz_c * cap
     nb = n_tiles * kp
-    extent, lpad = aligned_geometry(nodes)
+    extent, lpad = aligned_geometry(nodes, pad_cells)
+    if extent > 2 * TILE:
+        raise ValueError(
+            f"aligned window extent {extent} (nodes={nodes}, "
+            f"pad_cells={pad_cells}) exceeds the 2-tile fold window "
+            f"{2 * TILE}"
+        )
 
     rel = (
         jnp.matmul(pos_rows, inverse_cell, precision="highest")

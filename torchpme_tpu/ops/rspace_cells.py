@@ -67,6 +67,14 @@ class CellList:
     atom_wrap: Array  # (n_cells, capacity, 3) int8: image wrap of each atom
     n_axis: tuple[int, int, int] = field(metadata=dict(static=True))
     cutoff: float = field(metadata=dict(static=True))
+    # per-axis assignment slack, in units of the cell edge: atoms may sit up
+    # to ``slack`` outside their assigned cell (overflow-balanced lists,
+    # ``compute_cell_list(balance=True)``).  Pair coverage stays exact
+    # because the slack is capped at (edge − cutoff)/2 per axis; the
+    # staleness check widens to ``0.5 + slack``.
+    slack: tuple[float, float, float] = field(
+        metadata=dict(static=True), default=(0.0, 0.0, 0.0)
+    )
     # spill side-list: atoms beyond a cell's capacity (None when unused).
     # A tight capacity + a small "extras" pass is cheaper than padding every
     # cell to the fullest one: window work scales with capacity², and slab /
@@ -96,6 +104,96 @@ def _choose_capacity(counts, n_cells: int) -> int:
     return best
 
 
+def _balance_overflow(ids3, wrap, u, counts, capacity, slack_cell, n_axis):
+    """Greedy overflow diffusion (host, in-place on ``ids3``/``wrap``/``counts``).
+
+    Cells holding more than ``capacity`` atoms shed their excess into
+    adjacent cells with room, moving only atoms within ``slack_cell`` (cell
+    units) of the shared face — the assignment slack that keeps the 27-cell
+    window's pair coverage exact (requires cell edge ≥ cutoff + 2·slack,
+    enforced by the caller's choice of ``slack_cell``).  Returns the number
+    of atoms moved.  Most-overfull cells are processed first; within a cell,
+    atoms closest to a face move first.
+    """
+    nx, ny, nz = (int(n) for n in n_axis)
+    n_cells = nx * ny * nz
+    dirs = [
+        (ax, sign)
+        for ax in range(3)
+        if slack_cell[ax] > 1e-9
+        for sign in (-1, +1)
+    ]
+    if not dirs:
+        return 0
+    ids_flat = (ids3[:, 0] * ny + ids3[:, 1]) * nz + ids3[:, 2]
+    order = np.argsort(ids_flat, kind="stable")
+    cell_counts = np.bincount(ids_flat, minlength=n_cells)
+    starts = np.concatenate([[0], np.cumsum(cell_counts)])
+    over = np.nonzero(counts > capacity)[0]
+    over = over[np.argsort(-counts[over])]
+    nvec = np.asarray([nx, ny, nz])
+    moved = 0
+    for c in over:
+        excess = int(counts[c] - capacity)
+        if excess <= 0:
+            continue
+        atoms = order[starts[c] : starts[c + 1]]
+        cx, cy, cz = c // (ny * nz), (c // nz) % ny, c % nz
+        cands = []
+        for ax, sign in dirs:
+            d = u[atoms, ax] if sign < 0 else 1.0 - u[atoms, ax]
+            elig = d < slack_cell[ax]
+            for a, da in zip(atoms[elig], d[elig]):
+                cands.append((float(da), int(a), ax, sign))
+        cands.sort()
+        seen = set()
+        for da, a, ax, sign in cands:
+            if excess <= 0:
+                break
+            if a in seen:
+                continue  # each atom moves at most once
+            tgt3 = [cx, cy, cz]
+            tgt3[ax] += sign
+            wdelta = 0
+            if tgt3[ax] < 0:
+                tgt3[ax] += int(nvec[ax])
+                wdelta = -1
+            elif tgt3[ax] >= nvec[ax]:
+                tgt3[ax] -= int(nvec[ax])
+                wdelta = +1
+            t = (tgt3[0] * ny + tgt3[1]) * nz + tgt3[2]
+            if counts[t] >= capacity:
+                continue
+            ids3[a] = tgt3
+            wrap[a, ax] += wdelta
+            counts[c] -= 1
+            counts[t] += 1
+            excess -= 1
+            moved += 1
+            seen.add(a)
+    return moved
+
+
+def _choose_capacity_balanced(ids3, wrap, u, counts, n_axis, slack_cell):
+    """Capacity choice for overflow-balanced lists: run the greedy per
+    candidate and apply the spill cost model to the post-balance overflow.
+    Returns ``capacity`` and applies the winning assignment in place."""
+    n_cells = counts.shape[0]
+    cap_max = max(8, int(-(-int(counts.max()) // 8) * 8))
+    best = None
+    for cap in range(8, cap_max + 8, 8):
+        ids3_c, wrap_c, counts_c = ids3.copy(), wrap.copy(), counts.copy()
+        _balance_overflow(ids3_c, wrap_c, u, counts_c, cap, slack_cell, n_axis)
+        extras = int(np.maximum(0, counts_c - cap).sum())
+        cost = n_cells * 14 * cap * cap + 54 * cap * extras + 8.0 * extras**2
+        if best is None or cost < best[0]:
+            best = (cost, cap, ids3_c, wrap_c)
+    _, cap, ids3_b, wrap_b = best
+    ids3[:] = ids3_b
+    wrap[:] = wrap_b
+    return cap
+
+
 def compute_cell_list(
     positions,
     cell,
@@ -104,6 +202,7 @@ def compute_cell_list(
     spill: bool | None = None,
     x_multiple: int | None = None,
     xy_cells: tuple[int, int] | None = None,
+    balance: bool | tuple[float, float, float] = False,
 ):
     """Bucket atoms into cells of edge ≥ ``cutoff`` (host-side, eager).
 
@@ -135,6 +234,19 @@ def compute_cell_list(
         cell edge ≥ cutoff) — the tile-aligned MD state
         (:class:`torchpme_tpu.md.MDFastPath`) pins them to the mesh-tile
         grid so cell-bucket rows double as mesh-tile slots with no gather.
+    :param balance: overflow-balance the bucketing: along each axis whose
+        cell edge exceeds the cutoff, atoms within the per-axis slack
+        ``(edge − cutoff)/2`` of a face may be *assigned* to the adjacent
+        cell, so overfull cells shed their excess into neighbors with room
+        instead of spilling (window work scales with capacity², and the
+        spill side list costs ~2.6 µs per spilled atom on a v5e — measured,
+        tools/ab_capacity2.py).  Pair coverage stays exact: the slack cap
+        guarantees every true pair still lies within the 27-cell window,
+        and the staleness guard widens to the slack.  Pinned grids
+        (``xy_cells``) profit most — their x/y edges exceed the cutoff by
+        construction.  Pass a 3-tuple to cap the per-axis absolute slack
+        (the aligned MD state caps x/y so the widened mesh-spread window
+        still fits its 2-tile fold).
     """
     pos = np.asarray(positions, dtype=np.float64)
     cell_np = np.asarray(cell, dtype=np.float64)
@@ -181,6 +293,47 @@ def compute_cell_list(
             f"spill requires every cell-plane distance ≥ 2·cutoff; got "
             f"{plane_dist} at cutoff {cutoff}"
         )
+    slack_cell = (0.0, 0.0, 0.0)
+    if balance is not False:
+        edge = plane_dist / n_axis
+        slack_abs = np.maximum(0.0, (edge - cutoff) * 0.5 * (1.0 - 1e-6))
+        if balance is not True:  # per-axis absolute slack caps
+            slack_abs = np.minimum(slack_abs, np.asarray(balance, np.float64))
+        slack_cell = tuple(float(s) for s in slack_abs / edge)
+        balance = max(slack_cell) > 1e-9  # no room: cell edges == cutoff
+        if not balance:
+            slack_cell = (0.0, 0.0, 0.0)
+    if balance:
+        u = frac * n_axis - ids3  # position within the cell, [0, 1) per axis
+        if capacity is None and spill:
+            capacity = _choose_capacity_balanced(
+                ids3, wrap, u, counts, n_axis, slack_cell
+            )
+        elif capacity is None:
+            # smallest sublane-aligned capacity fully absorbed by balancing
+            cap_max = max(8, int(-(-int(counts.max()) // 8) * 8))
+            for cap in range(8, cap_max + 8, 8):
+                ids3_c, wrap_c, counts_c = (
+                    ids3.copy(),
+                    wrap.copy(),
+                    counts.copy(),
+                )
+                _balance_overflow(
+                    ids3_c, wrap_c, u, counts_c, cap, slack_cell, n_axis
+                )
+                if counts_c.max() <= cap:
+                    capacity = cap
+                    ids3, wrap = ids3_c, wrap_c
+                    break
+            else:
+                capacity = cap_max
+        else:
+            counts_b = counts.copy()
+            _balance_overflow(
+                ids3, wrap, u, counts_b, capacity, slack_cell, n_axis
+            )
+        ids = (ids3[:, 0] * ny + ids3[:, 1]) * nz + ids3[:, 2]
+        counts = np.bincount(ids, minlength=n_cells)
     if capacity is None:
         capacity = (
             _choose_capacity(counts, n_cells)
@@ -232,6 +385,7 @@ def compute_cell_list(
         jnp.asarray(atom_wrap),
         (nx, ny, nz),
         float(cutoff),
+        slack_cell,
         *extras,
     )
 
@@ -367,16 +521,19 @@ def _prepare_bucketed(q_raw, pos_raw, cell, clist):
     mf_g = mask_b.reshape(nx, ny, nz, cap).astype(dtype)
 
     # staleness guard on the center-relative fractional coordinates:
-    # |(pc @ inv) * n| ≤ 0.5 (+tol) per axis.  Padded slots sit at the center
-    # (pc = 0) and pass automatically.  Computed in the transposed layout so
-    # the compares run ≥cap lanes wide, and under stop_gradient: validity is
-    # a boolean diagnostic, not part of the differentiable energy.
+    # |(pc @ inv) * n| ≤ 0.5 + slack (+tol) per axis — overflow-balanced
+    # lists assign atoms up to the slack outside their cell on purpose.
+    # Padded slots sit at the center (pc = 0) and pass automatically.
+    # Computed in the transposed layout so the compares run ≥cap lanes wide,
+    # and under stop_gradient: validity is a boolean diagnostic, not part of
+    # the differentiable energy.
     pc_sg = lax.stop_gradient(pc_t)
     inv_cell = inv3(lax.stop_gradient(cell))
     frac_t = jnp.einsum(
         "fe,xyzfa->xyzea", inv_cell * n_axis[None, :], pc_sg, precision="highest"
     )
-    valid = jnp.all(jnp.abs(frac_t) < 0.5 + 1e-4)
+    bound = 0.5 + jnp.asarray(clist.slack, dtype) + 1e-4  # (3,)
+    valid = jnp.all(jnp.abs(frac_t) < bound[None, None, None, :, None])
 
     # per-offset center displacement vectors, flattened in chunk order
     chunks = _half_window_chunks(cap)
@@ -426,7 +583,8 @@ def _prepare_extras_bucketed(qe_raw, pe_raw, cell, clist):
     frac = (
         jnp.matmul(lax.stop_gradient(pe), inv_cell, precision="highest") * n_axis
     )
-    valid = jnp.all(jnp.abs(frac) < 0.5 + 1e-4)
+    bound = 0.5 + jnp.asarray(clist.slack, dtype) + 1e-4  # (3,)
+    valid = jnp.all(jnp.abs(frac) < bound[None, :])
     return pe, pe_abs, qe, valid
 
 
