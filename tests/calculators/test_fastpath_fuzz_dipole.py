@@ -321,3 +321,72 @@ def test_dipole_scalar_kernel_derivatives_match_autodiff():
         np.asarray(cpd_auto),
         rtol=1e-12,
     )
+
+
+@pytest.mark.parametrize("mode", ["sr", "direct"])
+def test_dipole_window_scalar_math_sq_accuracy(mode):
+    """The fused f32 ``(B, C, C'/d)``-of-d² hook must agree with the exact
+    f64 scalar kernels to A&S-7.1.26 + f32-roundoff accuracy over the
+    physical pair range (errors scaled by the range maximum — what dipolar
+    force-RMS accuracy actually sees)."""
+    pot = PotentialDipole(smearing=None if mode == "direct" else 1.1, prefactor=1.3)
+    d = jnp.linspace(0.3, 5.0, 2001, dtype=jnp.float64)
+    if mode == "direct":
+        b64, c64 = pot.scalar_kernels(d)
+        cp64 = pot.scalar_kernel_derivative(d, b64, c64) / d
+    else:
+        b64, c64 = pot.sr_scalar_kernels(d)
+        cp64 = pot.sr_scalar_kernel_derivative(d, b64, c64) / d
+    d32 = d.astype(jnp.float32)
+    b32, c32, cp32 = pot.window_scalar_math_sq(d32 * d32)
+    for a, b in ((b32, b64), (c32, c64), (cp32, cp64)):
+        err = np.max(
+            np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        ) / np.max(np.abs(np.asarray(b, np.float64)))
+        assert err < 2e-6, err
+
+
+def test_dipole_f32_window_math_end_to_end():
+    """f32 dipolar window energy + every cotangent through the fused hook
+    must match the exact f64 path to f32 roundoff, and the hook must be the
+    path actually taken (engaged on f32, never on f64)."""
+    from torchpme_tpu.ops import rspace_cells_dipole as rcd
+    from torchpme_tpu.ops.rspace_cells_dipole import cell_list_rspace_dipole_energy
+
+    calls = {"f32": 0, "f64": 0}
+    orig = rcd._resolve_dipole_window_math
+
+    def spy(spec, potential, dtype):
+        r = orig(spec, potential, dtype)
+        if r is not None:
+            calls["f32" if dtype == jnp.float32 else "f64"] += 1
+        return r
+
+    positions, dipoles, cell, cutoff, rng = _random_system(433)
+    clist = compute_cell_list(positions, cell, cutoff, capacity=64, spill=False)
+
+    def run(dtype):
+        p = positions.astype(dtype)
+        m = dipoles.astype(dtype)
+        c = cell.astype(dtype)
+        pot = PotentialDipole(smearing=jnp.asarray(1.0, dtype), prefactor=1.3)
+        e, g = jax.value_and_grad(
+            lambda p_, m_, c_: cell_list_rspace_dipole_energy(pot, m_, p_, c_, clist),
+            argnums=(0, 1, 2),
+        )(p, m, c)
+        return float(e), [np.asarray(x, np.float64) for x in g]
+
+    rcd._resolve_dipole_window_math = spy
+    try:
+        e32, g32 = run(jnp.float32)
+        e64, g64 = run(jnp.float64)
+    finally:
+        rcd._resolve_dipole_window_math = orig
+
+    assert calls["f32"] >= 1, "fused dipolar hook not engaged on the f32 path"
+    assert calls["f64"] == 0, "fused dipolar hook must never engage on f64"
+    assert abs(e32 - e64) / abs(e64) < 1e-5
+    for a, b in zip(g32, g64):
+        scale = np.max(np.abs(b))
+        assert np.sqrt(np.mean((a - b) ** 2)) / scale < 1e-5
+        assert np.max(np.abs(a - b)) / scale < 1e-4

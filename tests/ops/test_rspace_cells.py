@@ -404,3 +404,87 @@ def test_balanced_staleness_bound():
     outside = (0.5 + cl.slack[0]) * edge + 0.02
     assert np.isfinite(energy_at(inside))
     assert np.isnan(energy_at(outside))
+
+
+_WINDOW_MATH_POTENTIALS = [
+    lambda s: tpme.CoulombPotential(smearing=s),
+    *[
+        (lambda p: lambda s: tpme.InversePowerLawPotential(exponent=p, smearing=s))(p)
+        for p in range(1, 7)
+    ],
+    lambda s: tpme.CombinedPotential(
+        [
+            tpme.CoulombPotential(smearing=s),
+            tpme.InversePowerLawPotential(exponent=4, smearing=1.5 * s),
+        ],
+        initial_weights=[0.7, 0.3],
+        smearing=s,
+    ),
+]
+
+
+@pytest.mark.parametrize("smearing", [0.5, 1.0, 2.0])
+@pytest.mark.parametrize("make_pot", _WINDOW_MATH_POTENTIALS)
+def test_sr_window_math_hook_accuracy(make_pot, smearing):
+    """The fused f32 ``(V, V'/d)``-of-d² hook must agree with the exact f64
+    ``sr_from_dist`` / its derivative to A&S-7.1.26 + f32-roundoff accuracy
+    over the physical pair range (errors scaled by the range maximum — the
+    quantity force-RMS accuracy actually sees), for every potential family
+    that defines the hook."""
+    pot = make_pot(smearing)
+    d = jnp.linspace(0.3, 5.0, 2001, dtype=jnp.float64)
+    v64 = np.asarray(pot.sr_from_dist(d), np.float64)
+    w64 = np.asarray(
+        jax.vmap(jax.grad(lambda x: pot.sr_from_dist(x)))(d) / d, np.float64
+    )
+    d32 = d.astype(jnp.float32)
+    v32, w32 = pot.sr_window_math(d32 * d32)
+    ev = np.max(np.abs(np.asarray(v32, np.float64) - v64)) / np.max(np.abs(v64))
+    ew = np.max(np.abs(np.asarray(w32, np.float64) - w64)) / np.max(np.abs(w64))
+    assert ev < 2e-6 and ew < 2e-6
+
+
+def test_f32_window_math_end_to_end():
+    """f32 window energy + every cotangent through the fused hook must match
+    the exact f64 path to f32 roundoff, and the hook must actually be the
+    path taken (engaged on f32, never on f64)."""
+    from torchpme_tpu.ops import rspace_cells as rc
+
+    calls = {"f32": 0, "f64": 0}
+    orig = rc._resolve_window_math
+
+    def spy(spec, potential, dtype):
+        r = orig(spec, potential, dtype)
+        if r is not None:
+            calls["f32" if dtype == jnp.float32 else "f64"] += 1
+        return r
+
+    positions, charges, cell = _system(17, 400, 14.0, False)
+    cutoff = 4.5
+    clist = compute_cell_list(positions, cell, cutoff)
+
+    def run(dtype):
+        p = positions.astype(dtype)
+        q = charges.astype(dtype)
+        c = cell.astype(dtype)
+        pot = tpme.CoulombPotential(smearing=jnp.asarray(1.1, dtype))
+        e, g = jax.value_and_grad(
+            lambda p_, q_, c_: cell_list_rspace_energy(pot, q_, p_, c_, clist),
+            argnums=(0, 1, 2),
+        )(p, q, c)
+        return float(e), [np.asarray(x, np.float64) for x in g]
+
+    rc._resolve_window_math = spy
+    try:
+        e32, g32 = run(jnp.float32)
+        e64, g64 = run(jnp.float64)
+    finally:
+        rc._resolve_window_math = orig
+
+    assert calls["f32"] >= 1, "fused hook not engaged on the f32 path"
+    assert calls["f64"] == 0, "fused hook must never engage on f64"
+    assert abs(e32 - e64) / abs(e64) < 1e-5
+    for a, b in zip(g32, g64):
+        scale = np.max(np.abs(b))
+        assert np.sqrt(np.mean((a - b) ** 2)) / scale < 1e-5
+        assert np.max(np.abs(a - b)) / scale < 1e-4

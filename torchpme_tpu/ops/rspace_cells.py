@@ -700,8 +700,9 @@ def _chunk_geometry(chunk, k0, pc_t, q_g, mf_g, offs, cutoff_sq, scale_self=Fals
         block = jnp.zeros((cap, len(chunk) * cap), dtype=bool)
         block = block.at[:, k * cap : (k + 1) * cap].set(jnp.eye(cap, dtype=bool))
         pair_ok = pair_ok & ~block
-    d = jnp.sqrt(jnp.where(pair_ok, d_sq, 1.0))
-    return pj, qj, pair_ok, d
+    d_sq_safe = jnp.where(pair_ok, d_sq, 1.0)
+    d = jnp.sqrt(d_sq_safe)
+    return pj, qj, pair_ok, d, d_sq_safe
 
 
 def _we_math(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
@@ -713,16 +714,38 @@ def _we_math(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     cutoff, chunks = spec[0], spec[1]
     qi = q_g if qi_g is None else qi_g
     cutoff_sq = jnp.asarray(cutoff, pc_t.dtype) ** 2
+    window_math = _resolve_window_math(spec, potential, pc_t.dtype)
     e = jnp.zeros((), pc_t.dtype)
     k0 = 0
     for chunk in chunks:
-        pj, qj, pair_ok, d = _chunk_geometry(
+        pj, qj, pair_ok, d, d_sq_safe = _chunk_geometry(
             chunk, k0, pc_t, q_g, mf_g, offs, cutoff_sq, scale_self=True
         )
-        v = jnp.where(pair_ok, _potential_pair_values(potential, d), 0.0)
+        if window_math is not None:
+            v_raw = window_math(d_sq_safe)[0]
+        else:
+            v_raw = _potential_pair_values(potential, d)
+        v = jnp.where(pair_ok, v_raw, 0.0)
         e = e + jnp.sum(jnp.matmul(v, qj, precision="highest") * qi)
         k0 += len(chunk)
     return e
+
+
+def _resolve_window_math(spec, potential, dtype) -> object | None:
+    """The potential's fused ``(V(d), V'(d)/d)``-of-d² window hook, when the
+    static spec allows the analytic path AND the state is float32.
+
+    The hook (e.g. :meth:`CoulombPotential.sr_window_math`) shares one
+    transcendental pass between the value and the force factor and works in
+    squared distances — below-float32-roundoff approximation error, so it is
+    gated to f32 state; float64 (the validation precision) keeps the exact
+    erfc/exp path, and so do traced-parameter (trainable) potentials, which
+    need the ``jax.vjp`` pullback for their cotangents.
+    """
+    use_analytic = spec[2] if len(spec) > 2 else False
+    if not use_analytic or dtype != jnp.float32:
+        return None
+    return getattr(potential, "sr_window_math", None)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -822,6 +845,7 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     pair_force = (
         getattr(potential, "sr_pair_force", None) if use_analytic else None
     )
+    window_math = _resolve_window_math(spec, potential, dtype)
 
     e = jnp.zeros((), dtype)
     d_pc = jnp.zeros_like(pc_t)
@@ -831,11 +855,17 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
     d_pot = None
     k0 = 0
     for chunk in chunks:
-        pj, qj, pair_ok, d = _chunk_geometry(
+        pj, qj, pair_ok, d, d_sq_safe = _chunk_geometry(
             chunk, k0, pc_t, q_g, mf_g, offs, cutoff_sq, scale_self=True
         )
         okf = pair_ok.astype(dtype)
-        if deriv is not None:
+        s_direct = None
+        if window_math is not None:
+            # fused (V, V'/d)-of-d² hook: one shared transcendental pass,
+            # no bare sqrt/divides (A&S-rational erfc, below-f32-roundoff)
+            v_raw, w_raw = window_math(d_sq_safe)
+            d_pot_k = None
+        elif deriv is not None:
             # analytic V'(d): reuses v, skips the pullback's erf-chain rewalk
             v_raw = _potential_pair_values(potential, d)
             d_pot_k = None
@@ -848,7 +878,10 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
         # `sum(matmul(okf·V, qj)·qi)` form paid a full window
         # materialization + MXU matmul for the value alone: 5.3 ms at 102k
         # atoms on a v5e when forces were also requested.)
-        if pair_force is not None:
+        if window_math is not None:
+            e = e + jnp.sum(vq * v_raw)
+            s_direct = vq * w_raw
+        elif pair_force is not None:
             # force phrased IN TERMS OF the energy product: one shared
             # pairE tensor feeds both, so XLA cannot split the expensive
             # V(d) producer into two fusions (which the generic form below
@@ -873,7 +906,7 @@ def _we_value_and_grad(spec, potential, pc_t, q_g, mf_g, offs, qi_g=None):
         else:
             d_q = d_q + mvq
         d_qj = jnp.einsum("...ij,...ic->...jc", v, qi, precision="highest")
-        s = dd / d
+        s = s_direct if s_direct is not None else dd / d
         rowsum = jnp.sum(s, axis=-1)  # (x,y,z,cap)
         colsum = jnp.sum(s, axis=-2)  # (x,y,z,W)
         cross_i = jnp.einsum("...ij,...dj->...di", s, pj, precision="highest")
@@ -1156,7 +1189,7 @@ def _window_potentials(pot_obj, pc_t, q_g, mf_g, offs, chunks, cutoff):
     pot_g = jnp.zeros((nx, ny, nz, cap, n_channels), dtype)
     k0 = 0
     for chunk in chunks:
-        pj, qj, pair_ok, d = _chunk_geometry(
+        pj, qj, pair_ok, d, d_sq_safe = _chunk_geometry(
             chunk, k0, pc_t, q_g, mf_g, offs, cutoff_sq
         )
         v = jnp.where(pair_ok, _potential_pair_values(pot_obj, d), 0.0)

@@ -228,6 +228,19 @@ def _scalar_hooks(potential):
     )
 
 
+def _resolve_dipole_window_math(spec, potential, dtype) -> object | None:
+    """The potential's fused ``(B, C, C'/d)``-of-d² hook
+    (:meth:`PotentialDipole.window_scalar_math_sq`), when the static spec
+    allows the analytic path AND the state is float32 — same gating as the
+    scalar engine's ``_resolve_window_math``: the A&S erfc rational inside
+    sits below f32 roundoff but not below f64, so float64 (the validation
+    precision) keeps the exact erfc/exp scalars."""
+    use_analytic = spec[2] if len(spec) > 2 else False
+    if not use_analytic or dtype != jnp.float32:
+        return None
+    return getattr(potential, "window_scalar_math_sq", None)
+
+
 def _can_use_analytic_dipole(potential) -> bool:
     """Same gating discipline as the scalar engine's analytic hook: the C′
     hook must exist, the exclusion window must be off (its extra f(r) terms
@@ -293,15 +306,19 @@ def _dw_math(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None) -> Array:
     dtype = pc_t.dtype
     cutoff_sq = jnp.asarray(spec[0], dtype) ** 2
     mui = mu_g if mui_g is None else mui_g
+    window_math = _resolve_dipole_window_math(spec, potential, dtype)
 
     e = jnp.zeros((), dtype)
     k0 = 0
     for chunk in spec[1]:
-        pj, muj, pair_ok, d = _chunk_geometry(
+        pj, muj, pair_ok, d, d_sq_safe = _chunk_geometry(
             chunk, k0, pc_t, mu_g, mf_g, offs, cutoff_sq, scale_self=True
         )
         okf = pair_ok.astype(dtype)
-        b, c = scalars(d)
+        if window_math is not None:
+            b, c, _ = window_math(d_sq_safe)
+        else:
+            b, c = scalars(d)
         # μi·μj — like the scalar engine's charge outer product
         mumu = jnp.einsum(
             "...ic,...jc->...ij", mui, muj, precision="highest"
@@ -349,6 +366,7 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None):
     cutoff_sq = jnp.asarray(spec[0], dtype) ** 2
     split = mui_g is not None
     mui = mu_g if mui_g is None else mui_g
+    window_math = _resolve_dipole_window_math(spec, potential, dtype)
 
     e = jnp.zeros((), dtype)
     d_pc = jnp.zeros_like(pc_t)
@@ -359,12 +377,17 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None):
     pc_rows = jnp.moveaxis(pc_t, -2, -1)  # (…, cap, 3)
     k0 = 0
     for chunk in spec[1]:
-        pj, muj, pair_ok, d = _chunk_geometry(
+        pj, muj, pair_ok, d, d_sq_safe = _chunk_geometry(
             chunk, k0, pc_t, mu_g, mf_g, offs, cutoff_sq, scale_self=True
         )
         okf = pair_ok.astype(dtype)
-        b, c = scalars(d)
-        cp = cderiv(d, b, c)
+        if window_math is not None:
+            # fused (B, C, C'/d)-of-d² hook: one shared Gaussian pass, no
+            # bare sqrt/divides (A&S-rational erfc, below-f32-roundoff)
+            b, c, cp_over_d = window_math(d_sq_safe)
+        else:
+            b, c = scalars(d)
+            cp_over_d = cderiv(d, b, c) / d
         mumu = jnp.einsum("...ic,...jc->...ij", mui, muj, precision=Pr)
         ri = jnp.einsum(
             "...ic,...cj->...ij", mui, pj, precision=Pr
@@ -380,7 +403,7 @@ def _dw_value_and_grad(spec, potential, pc_t, mu_g, mf_g, offs, mui_g=None):
         e = e + jnp.sum(bt * mumu - ct * rirj)
 
         # pair weight s = (B'M − C'RiRj)/d with B' = −C·d
-        s = -(ct * mumu) - (okf * cp / d) * rirj
+        s = -(ct * mumu) - (okf * cp_over_d) * rirj
         ct_rj = ct * rj
         ct_ri = ct * ri
         rowsum = jnp.sum(s, axis=-1)  # (…, cap)

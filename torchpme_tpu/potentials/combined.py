@@ -134,6 +134,28 @@ class CombinedPotential(Potential):
 
         return deriv
 
+    @property
+    def sr_window_math(self):
+        """Composed fused ``(V, V'/d)``-of-d² hook when every member has one,
+        else ``None``.  Like :attr:`sr_derivative`, this only fires through
+        the analytic gate (all leaves concrete — trainable weights keep the
+        autodiff pullback); the member Gaussians are not shared across
+        members (different smearings), but each member still pays only its
+        own single transcendental pass."""
+        if any(
+            getattr(p, "sr_window_math", None) is None for p in self.potentials
+        ):
+            return None
+
+        def window_math(dist_sq: Array) -> tuple[Array, Array]:
+            parts = [p.sr_window_math(dist_sq) for p in self.potentials]
+            return (
+                self._combine([v for v, _ in parts]),
+                self._combine([w for _, w in parts]),
+            )
+
+        return window_math
+
     def self_contribution(self) -> Array:
         return self._combine([p.self_contribution() for p in self.potentials])
 

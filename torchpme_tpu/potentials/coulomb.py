@@ -17,6 +17,24 @@ from .potential import Potential
 __all__ = ["CoulombPotential", "slab_correction_1r"]
 
 
+def erfc_f32_from_gauss(y: Array, gauss: Array) -> Array:
+    r"""Abramowitz & Stegun 7.1.26 rational for :math:`\mathrm{erfc}(y)`,
+    phrased to REUSE an already-computed :math:`e^{-y^2}` factor.
+
+    :math:`|\varepsilon| \le 1.5\times10^{-7}` absolute — below float32
+    roundoff, so this is the f32 window fast path's erfc (the
+    ``sr_window_math`` hooks share the Gaussian between the erfc and the
+    force term, making erfc itself transcendental-free).  Valid for
+    :math:`y \ge 0` only (the window's distances always are).
+    """
+    t = 1.0 / (1.0 + 0.3275911 * y)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return poly * gauss
+
+
 def slab_correction_1r(
     periodic: Array | None,
     positions: Array,
@@ -134,6 +152,28 @@ class CoulombPotential(Potential):
         gauss = jnp.exp(-((alpha * dist) ** 2))
         c = self.prefactor * 2.0 * alpha / jnp.pi**0.5
         return -(pair_e + vq * (c * gauss)) / dist
+
+    def sr_window_math(self, dist_sq: Array) -> tuple[Array, Array]:
+        r"""``(V_SR(d), V_SR'(d)/d)`` as functions of :math:`d^2` — the
+        float32 window fast path.
+
+        Phrased so the whole pair term needs ONE transcendental pass: the
+        erfc rides the Abramowitz & Stegun 7.1.26 rational
+        (:math:`|\varepsilon| \le 1.5\times10^{-7}`, below float32
+        roundoff), whose :math:`e^{-x^2}` factor is *shared* with the force
+        term, and every divide is an ``rsqrt`` of the squared distance the
+        window already has — no bare ``sqrt``, no second ``exp`` (the exact
+        path pays erfc + exp + sqrt + two divides per candidate slot).
+        Used by the cell-list window engine when the analytic-derivative
+        gate allows (float32, no exclusion radius, concrete parameters).
+        """
+        alpha = 1.0 / (self.smearing * 2.0**0.5)
+        rd = jax.lax.rsqrt(dist_sq)
+        gauss = jnp.exp(-(alpha * alpha) * dist_sq)
+        v = self.prefactor * erfc_f32_from_gauss(alpha * (dist_sq * rd), gauss) * rd
+        c = self.prefactor * (2.0 * alpha / jnp.pi**0.5)
+        w = -(v + c * gauss) * (rd * rd)
+        return v, w
 
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         if self.smearing is None:

@@ -193,6 +193,40 @@ class PotentialDipole:
             + self.prefactor * gauss * (4 * alpha**2 / dist + 10 * alpha / dist**3)
         )
 
+    def window_scalar_math_sq(self, dist_sq: Array) -> tuple[Array, Array, Array]:
+        r"""``(B(d), C(d), C'(d)/d)`` as functions of :math:`d^2` — the
+        float32 dipolar window fast path (the dipolar analog of
+        :meth:`CoulombPotential.sr_window_math`).
+
+        One shared Gaussian feeds the A&S-7.1.26 erfc, both scalars, and the
+        force hook; every divide is an ``rsqrt`` power of the squared
+        distance the window already has.  The exact path pays erfc + two
+        ``exp`` + ``sqrt`` + a stack of divides per candidate slot.  Direct
+        mode (``smearing=None``) is pure rationals of :math:`d^2`.  Valid
+        only without an exclusion window (its :math:`f(r)` terms are not
+        covered) — the engine's analytic gate already enforces that.
+        """
+        from .coulomb import erfc_f32_from_gauss
+
+        rd = jax.lax.rsqrt(dist_sq)
+        rd2 = rd * rd
+        if self.smearing is None:
+            b = self.prefactor * rd2 * rd
+            return b, 3.0 * b * rd2, -15.0 * b * (rd2 * rd2)
+        alpha = 1 / (2 * self.smearing**2)
+        gauss_raw = jnp.exp(-alpha * dist_sq)
+        erfc = erfc_f32_from_gauss(alpha**0.5 * (dist_sq * rd), gauss_raw)
+        g = 2 * (alpha / jnp.pi) ** 0.5 * gauss_raw
+        b = self.prefactor * (erfc * (rd2 * rd) + g * rd2)
+        c = self.prefactor * (
+            3.0 * erfc * (rd2 * rd2 * rd) + g * (2 * alpha + 3.0 * rd2) * rd2
+        )
+        cp_over_d = -(
+            15.0 * b * (rd2 * rd2)
+            + self.prefactor * g * (4 * alpha**2 * rd2 + 10 * alpha * (rd2 * rd2))
+        )
+        return b, c, cp_over_d
+
     def _lr_scalar_kernels(self, dist: Array) -> tuple[Array, Array]:
         alpha = 1 / (2 * self.smearing**2)
         r2 = dist**2

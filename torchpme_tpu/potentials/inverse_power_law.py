@@ -8,13 +8,14 @@ expressions, so it must be a trace-time constant).
 
 from __future__ import annotations
 
+import math as _math
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 from jax import Array
 from ..ops.math import gamma, gammainc_over_powerlaw, gammaincc_over_powerlaw
-from .coulomb import slab_correction_1r
+from .coulomb import erfc_f32_from_gauss, slab_correction_1r
 from .potential import Potential, static_field
 
 __all__ = ["InversePowerLawPotential"]
@@ -112,6 +113,60 @@ class InversePowerLawPotential(Potential):
         )
         gauss = jnp.exp(-alpha_sq * dist**2)
         return -(p * pair_e + vq * (c * gauss)) / dist
+
+    def sr_window_math(self, dist_sq: Array) -> tuple[Array, Array]:
+        r"""``(V_SR(d), V_SR'(d)/d)`` as functions of :math:`d^2` — the
+        float32 window fast path (see :meth:`CoulombPotential.sr_window_math`).
+
+        With :math:`z = \alpha^2 d^2` the short-range part is
+        :math:`V_{SR} = P\,Q(p/2, z)/d^p` (regularized UPPER incomplete
+        gamma), which is elementary for half-integer :math:`p/2`:
+
+        .. math::
+            Q(1/2,z) &= \mathrm{erfc}(\sqrt z) \\
+            Q(1,z)   &= e^{-z} \\
+            Q(3/2,z) &= \mathrm{erfc}(\sqrt z) + \tfrac{2}{\sqrt\pi}\sqrt z\,e^{-z} \\
+            Q(2,z)   &= (1+z)\,e^{-z} \\
+            Q(5/2,z) &= \mathrm{erfc}(\sqrt z)
+                        + \tfrac{2}{\sqrt\pi}\sqrt z\,(1+\tfrac{2z}{3})\,e^{-z} \\
+            Q(3,z)   &= (1+z+z^2/2)\,e^{-z}
+
+        One shared Gaussian feeds the :math:`Q` polynomial, the A&S-7.1.26
+        erfc (odd :math:`p`), and the force term
+        :math:`V'/d = -(p\,V + c\,e^{-z})/d^2`; every divide is an ``rsqrt``
+        power of the squared distance the window already has.  All terms of
+        :math:`Q` are positive (no cancellation), so accuracy is uniform over
+        the pair range.
+        """
+        p = self.exponent
+        alpha_sq = 0.5 / self.smearing**2
+        rd = jax.lax.rsqrt(dist_sq)
+        rd2 = rd * rd
+        z = alpha_sq * dist_sq
+        gauss = jnp.exp(-z)
+        if p % 2:  # odd p: erfc(√z) enters; √z = α·d rides the rsqrt
+            sz = alpha_sq**0.5 * (dist_sq * rd)
+            erfc = erfc_f32_from_gauss(sz, gauss)
+            two_rpi = 2.0 / jnp.pi**0.5
+            if p == 1:
+                q_upper = erfc
+            elif p == 3:
+                q_upper = erfc + two_rpi * sz * gauss
+            else:  # p == 5
+                q_upper = erfc + two_rpi * sz * (1.0 + 2.0 / 3.0 * z) * gauss
+            inv_dp = rd2 ** ((p - 1) // 2) * rd
+        else:
+            if p == 2:
+                q_upper = gauss
+            elif p == 4:
+                q_upper = (1.0 + z) * gauss
+            else:  # p == 6
+                q_upper = (1.0 + z * (1.0 + 0.5 * z)) * gauss
+            inv_dp = rd2 ** (p // 2)
+        v = self.prefactor * q_upper * inv_dp
+        c = self.prefactor * 2.0 * alpha_sq ** (p / 2) / _math.gamma(p / 2)
+        w = -(p * v + c * gauss) * rd2
+        return v, w
 
     def lr_from_k_sq(self, k_sq: Array) -> Array:
         if self.smearing is None:

@@ -134,6 +134,17 @@ class Potential:
     #: of repeated erfc at 102k atoms on a v5e with the generic hook).
     sr_pair_force = None
 
+    #: Strongest optional variant: ``sr_window_math(dist_sq) -> (V, V'/d)``
+    #: — the whole pair term as functions of the SQUARED distance, phrased so
+    #: one transcendental pass (the shared Gaussian) feeds both the value and
+    #: the force factor, with no bare ``sqrt``/divides (the window already
+    #: has :math:`d^2`; everything else rides ``rsqrt``).  The cell-list
+    #: window engine uses it on float32 state only: the float32
+    #: approximations involved (e.g. the A&S 7.1.26 erfc rational) sit below
+    #: f32 roundoff but NOT below f64, so float64 — the validation precision
+    #: — keeps the exact path, as do trainable (traced-parameter) potentials.
+    sr_window_math = None
+
     # -- reciprocal space ----------------------------------------------------
 
     def lr_from_k_sq(self, k_sq: Array) -> Array:
