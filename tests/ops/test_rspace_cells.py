@@ -444,10 +444,12 @@ def test_sr_window_math_hook_accuracy(make_pot, smearing):
     assert ev < 2e-6 and ew < 2e-6
 
 
-def test_f32_window_math_end_to_end():
+@pytest.mark.parametrize("spill", [False, True])
+def test_f32_window_math_end_to_end(spill):
     """f32 window energy + every cotangent through the fused hook must match
     the exact f64 path to f32 roundoff, and the hook must actually be the
-    path taken (engaged on f32, never on f64)."""
+    path taken (engaged on f32, never on f64).  The spill variant mixes the
+    hook-driven window with the exact-math extras side-list in one energy."""
     from torchpme_tpu.ops import rspace_cells as rc
 
     calls = {"f32": 0, "f64": 0}
@@ -461,7 +463,11 @@ def test_f32_window_math_end_to_end():
 
     positions, charges, cell = _system(17, 400, 14.0, False)
     cutoff = 4.5
-    clist = compute_cell_list(positions, cell, cutoff)
+    if spill:
+        clist = compute_cell_list(positions, cell, cutoff, capacity=8, spill=True)
+        assert int(np.asarray(clist.extra_mask).sum()) > 0
+    else:
+        clist = compute_cell_list(positions, cell, cutoff)
 
     def run(dtype):
         p = positions.astype(dtype)
